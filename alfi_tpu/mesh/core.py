@@ -39,6 +39,26 @@ def _row_unique_inverse(rows):
     return uniq, inverse.astype(index_dtype)
 
 
+def _row_view(a):
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.int64))
+    return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+
+def match_rows(table, queries):
+    """Indices into ``table`` of each row of ``queries``.
+
+    Rows must be per-row sorted.  Raises if a query row is missing.
+    """
+    tv = _row_view(table)
+    qv = _row_view(queries)
+    order = np.argsort(tv)
+    pos = np.searchsorted(tv[order], qv)
+    idx = order[np.clip(pos, 0, len(tv) - 1)]
+    if not np.all(tv[idx] == qv):
+        raise KeyError("query rows not found in table")
+    return idx.astype(index_dtype)
+
+
 def orient_cells(vertices, cells):
     """Return cells re-ordered so every simplex has positive volume."""
     cells = np.asarray(cells, dtype=index_dtype).copy()
@@ -138,6 +158,16 @@ class Mesh:
         self.edge_vertices = edges.astype(index_dtype)
         self.num_edges = edges.shape[0]
         self.cell_edges = inverse.reshape(self.num_cells, 6)
+        # facet -> its 3 edges: (a,b), (a,c), (b,c) of the sorted facet
+        f = self.facet_vertices
+        self.facet_edges = np.stack(
+            [
+                match_rows(self.edge_vertices, f[:, [0, 1]]),
+                match_rows(self.edge_vertices, f[:, [0, 2]]),
+                match_rows(self.edge_vertices, f[:, [1, 2]]),
+            ],
+            axis=1,
+        )
 
     # ------------------------------------------------------------------
     # geometry helpers

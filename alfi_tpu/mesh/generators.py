@@ -192,7 +192,7 @@ def gmsh_read(path, name=None):
     cells = remap[cells]
     mesh = Mesh(verts, cells, name=name or str(path))
     if bdata:
-        from .refine import match_rows
+        from .core import match_rows
 
         bverts = np.sort(
             remap[np.array([c for _, c in bdata], dtype=index_dtype)], axis=1

@@ -24,27 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import index_dtype
-from .core import Mesh, _sorted_rows
-
-
-def _row_view(a):
-    a = np.ascontiguousarray(np.asarray(a, dtype=np.int64))
-    return a.view([("", a.dtype)] * a.shape[1]).ravel()
-
-
-def match_rows(table, queries):
-    """Indices into ``table`` of each row of ``queries``.
-
-    Rows must be per-row sorted.  Raises if a query row is missing.
-    """
-    tv = _row_view(table)
-    qv = _row_view(queries)
-    order = np.argsort(tv)
-    pos = np.searchsorted(tv[order], qv)
-    idx = order[np.clip(pos, 0, len(tv) - 1)]
-    if not np.all(tv[idx] == qv):
-        raise KeyError("query rows not found in table")
-    return idx.astype(index_dtype)
+from .core import Mesh, _sorted_rows, match_rows
 
 
 def _transfer_facet_data(coarse, fine, child_facet_verts, parent_facet_idx,
