@@ -1,0 +1,289 @@
+"""Navier-Stokes residual kernels (device, jit/vmap/autodiff friendly).
+
+Hand-derived element kernels for the reference's fixed form set — the
+TPU-native replacement for the UFL->TSFC->C pipeline:
+
+* ``pkp0`` residual (/root/reference/alfi/solver.py:562-572):
+      nu (2 sym grad u, grad v) + gamma (cell_avg(div u), div v)
+      + advect ((grad u) u, v) - (p, div v) - (div u, q)
+* ``sv`` residual (/root/reference/alfi/solver.py:613-623): same with the
+  exact gamma (div u, div v) term.
+
+Everything is built from ONE per-cell kernel:
+
+* global residual      = vmap(cell_kernel) + scatter-add,
+* Newton matvec        = jax.jvp of the global residual (exact, matrix-free),
+* element tensors      = vmap(jacfwd(cell_kernel)) for patch smoothers and
+                         coarse-grid assembly,
+
+so there is a single source of truth for the physics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import real_dtype
+from .geometry import CellGeometry
+from .quadrature import simplex_quadrature
+
+
+class Tabulation:
+    """Reference-element tabulation at a quadrature rule (constants)."""
+
+    def __init__(self, element, dim, degree):
+        pts, wts = simplex_quadrature(dim, degree)
+        self.ref_pts = pts
+        self.w = jnp.asarray(wts, dtype=real_dtype)
+        self.phi = jnp.asarray(element.tabulate(pts), dtype=real_dtype)
+        self.gphi = jnp.asarray(element.tabulate_grad(pts), dtype=real_dtype)
+        self.nq = len(wts)
+        self.nloc = element.nloc
+
+
+class NSForm:
+    """Residual of the AL Navier-Stokes system for one (V, Q) pair.
+
+    graddiv_mode: 'cell_avg' (Pk-P0) or 'exact' (Scott-Vogelius).
+    """
+
+    def __init__(self, V, Q, graddiv_mode, quad_degree=None, rhs=None):
+        self.V = V
+        self.Q = Q
+        mesh = V.mesh
+        self.mesh = mesh
+        d = mesh.dim
+        self.dim = d
+        self.graddiv_mode = graddiv_mode
+        ku = V.element.degree
+        kq = Q.element.degree
+        if quad_degree is None:
+            # advection (grad u) u . v is the highest-degree term
+            quad_degree = max(3 * ku - 1, 2 * ku, ku + kq, 2)
+        self.quad_degree = quad_degree
+        self.tab_v = Tabulation(V.element, d, quad_degree)
+        self.tab_q = Tabulation(Q.element, d, quad_degree)
+        self.geom = CellGeometry(mesh)
+        self.cd_v = jnp.asarray(V.cell_dofs)
+        self.cd_q = jnp.asarray(Q.cell_dofs)
+        #: optional forcing: rhs(x (nq,d), params) -> (f_v (nq,d), f_q (nq,))
+        self.rhs = rhs
+        #: optional extra velocity residual hook: fn(z, params) -> Rv global
+        self.stabilisation = None
+
+    # ------------------------------------------------------------------
+    # per-cell kernels
+    # ------------------------------------------------------------------
+    def _vel_fields(self, u_loc, jinv):
+        """u at quad points (nq, d) and grad u (nq, d, d) for one cell."""
+        tv = self.tab_v
+        u_q = jnp.einsum("ql,ld->qd", tv.phi, u_loc)
+        gu = jnp.einsum("qle,ej,li->qij", tv.gphi, jinv, u_loc)
+        return u_q, gu
+
+    def _vel_testgrad(self, jinv):
+        """Physical gradients of velocity test functions (nq, nloc, d)."""
+        return jnp.einsum("qle,ej->qlj", self.tab_v.gphi, jinv)
+
+    def cell_velocity_residual(self, u_loc, wind_loc, jinv, detj, vol,
+                               params):
+        """Velocity-block residual on one cell:
+        nu (2 sym grad u, grad v) + gamma graddiv + advect ((grad u) wind, v)
+
+        With wind_loc = u_loc this is the nonlinear velocity residual whose
+        jvp is the Newton (0,0) block; with frozen wind it is the Oseen/
+        grad-div operator of the graddiv harness
+        (/root/reference/examples/graddiv/graddiv.py:80-83).
+        """
+        nu, gamma = params["nu"], params["gamma"]
+        advect = params.get("advect", 0.0)
+        tv = self.tab_v
+        wdet = tv.w * detj  # (nq,)
+        u_q, gu = self._vel_fields(u_loc, jinv)
+        gtest = self._vel_testgrad(jinv)  # (nq, l, d)
+
+        S = gu + jnp.swapaxes(gu, -1, -2)
+        rv = nu * jnp.einsum("q,qij,qlj->li", wdet, S, gtest)
+        divu = jnp.trace(gu, axis1=-2, axis2=-1)  # (nq,)
+        int_div_test = jnp.einsum("q,qld->ld", wdet, gtest)
+        if self.graddiv_mode == "cell_avg":
+            int_divu = jnp.einsum("q,q->", wdet, divu)
+            rv = rv + gamma * (int_divu / vol) * int_div_test
+        else:
+            rv = rv + gamma * jnp.einsum("q,q,qld->ld", wdet, divu, gtest)
+        w_q = jnp.einsum("ql,ld->qd", tv.phi, wind_loc)
+        conv = jnp.einsum("qij,qj->qi", gu, w_q)
+        rv = rv + advect * jnp.einsum("q,qi,ql->li", wdet, conv, tv.phi)
+        return rv
+
+    def cell_residual(self, u_loc, p_loc, jinv, detj, vol, xq, params):
+        """Full mixed residual on one cell -> (rv (nloc_v, d), rq (nloc_q,)).
+
+        xq: (nq, d) physical quadrature points (any placeholder if rhs is
+        None)."""
+        tv, tq = self.tab_v, self.tab_q
+        wdet = tv.w * detj
+        rv = self.cell_velocity_residual(u_loc, u_loc, jinv, detj, vol,
+                                         params)
+        _, gu = self._vel_fields(u_loc, jinv)
+        gtest = self._vel_testgrad(jinv)
+        divu = jnp.trace(gu, axis1=-2, axis2=-1)
+        p_q = jnp.einsum("ql,l->q", tq.phi, p_loc)
+        # -(p, div v)
+        rv = rv - jnp.einsum("q,q,qld->ld", wdet, p_q, gtest)
+        # -(div u, q)
+        rq = -jnp.einsum("q,q,ql->l", wdet, divu, tq.phi)
+        if self.rhs is not None:
+            f_v, f_q = self.rhs(xq, params)
+            rv = rv - jnp.einsum("q,qd,ql->ld", wdet, f_v, tv.phi)
+            rq = rq - jnp.einsum("q,q,ql->l", wdet, f_q, tq.phi)
+        return rv, rq
+
+    # ------------------------------------------------------------------
+    # global assembly
+    # ------------------------------------------------------------------
+    def _geom_args(self):
+        g = self.geom
+        return g.jinv, g.detj, g.vol
+
+    def _quad_x(self):
+        if self.rhs is None:
+            # placeholder; kernel ignores it
+            return jnp.zeros((1, self.tab_v.nq, self.dim), dtype=real_dtype)
+        return self.geom.quad_points_physical(self.tab_v.ref_pts)
+
+    def residual(self, z, params):
+        """Assembled residual pytree (Rv (ndofV, d), Rq (ndofQ,)).
+
+        No boundary conditions applied here (the solver masks rows)."""
+        u, p = z
+        jinv, detj, vol = self._geom_args()
+        xq = self._quad_x()
+        if self.rhs is None:
+            xq = jnp.broadcast_to(xq, (jinv.shape[0],) + xq.shape[1:])
+        u_loc = u[self.cd_v]
+        p_loc = p[self.cd_q]
+        rv, rq = jax.vmap(
+            lambda ul, pl, ji, dj, vo, x: self.cell_residual(
+                ul, pl, ji, dj, vo, x, params
+            )
+        )(u_loc, p_loc, jinv, detj, vol, xq)
+        Rv = jnp.zeros_like(u).at[self.cd_v].add(rv)
+        Rq = jnp.zeros_like(p).at[self.cd_q].add(rq)
+        if self.stabilisation is not None:
+            Rv = Rv + self.stabilisation(z, params)
+        return (Rv, Rq)
+
+    def velocity_residual(self, u, params, wind=None):
+        """Global velocity-block residual (wind=None -> wind=u)."""
+        jinv, detj, vol = self._geom_args()
+        u_loc = u[self.cd_v]
+        w_loc = u_loc if wind is None else wind[self.cd_v]
+        rv = jax.vmap(
+            lambda ul, wl, ji, dj, vo: self.cell_velocity_residual(
+                ul, wl, ji, dj, vo, params
+            )
+        )(u_loc, w_loc, jinv, detj, vol)
+        return jnp.zeros_like(u).at[self.cd_v].add(rv)
+
+    # ------------------------------------------------------------------
+    # element tensors (for patches / coarse grids)
+    # ------------------------------------------------------------------
+    def velocity_element_tensors(self, params, wind):
+        """(nc, nloc_v*d, nloc_v*d) Jacobian of the velocity block at the
+        given wind, flattened with local index l*d + component."""
+        jinv, detj, vol = self._geom_args()
+        w_loc = wind[self.cd_v]
+        nl, d = self.tab_v.nloc, self.dim
+
+        def cell_jac(wl, ji, dj, vo):
+            def r(ul):
+                # Newton linearisation: d/du [advect (grad u) u] at wl
+                # = advect ((grad du) wl + (grad wl) du); obtained as jvp of
+                # the nonlinear kernel below
+                return self.cell_velocity_residual(ul, ul, ji, dj, vo,
+                                                   params)
+
+            J = jax.jacfwd(r)(wl)  # (nl, d, nl, d)
+            return J.reshape(nl * d, nl * d)
+
+        return jax.vmap(cell_jac)(w_loc, jinv, detj, vol)
+
+    def mixed_element_tensors(self, z, params):
+        """Per-cell Jacobian blocks of the full mixed residual at state z.
+
+        Returns (Juu, Jup, Jpu, Jpp) with shapes
+        (nc, nlv*d, nlv*d), (nc, nlv*d, nlq), (nc, nlq, nlv*d), (nc, nlq, nlq).
+        """
+        u, p = z
+        jinv, detj, vol = self._geom_args()
+        xq = self._quad_x()
+        if self.rhs is None:
+            xq = jnp.broadcast_to(xq, (jinv.shape[0],) + xq.shape[1:])
+        u_loc = u[self.cd_v]
+        p_loc = p[self.cd_q]
+        nlv, d, nlq = self.tab_v.nloc, self.dim, self.tab_q.nloc
+
+        def cell_jac(ul, pl, ji, dj, vo, x):
+            Ju = jax.jacfwd(
+                lambda uu: self.cell_residual(uu, pl, ji, dj, vo, x, params)
+            )(ul)
+            Jp = jax.jacfwd(
+                lambda pp: self.cell_residual(ul, pp, ji, dj, vo, x, params)
+            )(pl)
+            Juu = Ju[0].reshape(nlv * d, nlv * d)
+            Jpu = Ju[1].reshape(nlq, nlv * d)
+            Jup = Jp[0].reshape(nlv * d, nlq)
+            Jpp = Jp[1].reshape(nlq, nlq)
+            return Juu, Jup, Jpu, Jpp
+
+        return jax.vmap(cell_jac)(u_loc, p_loc, jinv, detj, vol, xq)
+
+    # ------------------------------------------------------------------
+    # auxiliary quantities
+    # ------------------------------------------------------------------
+    def pressure_mass_inverse(self):
+        """Per-cell inverse DG mass matrices (nc, nloc_q, nloc_q).
+
+        Closed-form replacement for the reference's DGMassInv PC
+        (/root/reference/alfi/solver.py:15-38)."""
+        tq = self.tab_q
+        M = jnp.einsum(
+            "q,c,ql,qm->clm", tq.w, self.geom.detj, tq.phi, tq.phi
+        )
+        return jnp.linalg.inv(M)
+
+    def pressure_integral(self, p):
+        tq = self.tab_q
+        p_q = jnp.einsum("ql,cl->cq", tq.phi, p[self.cd_q])
+        return jnp.einsum("q,c,cq->", tq.w, self.geom.detj, p_q)
+
+    def area(self):
+        return self.geom.vol.sum()
+
+    def velocity_norms(self, u):
+        """(L2 norm, H1 seminorm) of a velocity field."""
+        tv = self.tab_v
+        u_loc = u[self.cd_v]
+        u_q = jnp.einsum("ql,cld->cqd", tv.phi, u_loc)
+        gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, self.geom.jinv, u_loc)
+        wdet = tv.w[None, :] * self.geom.detj[:, None]
+        l2 = jnp.sqrt(jnp.einsum("cq,cqd,cqd->", wdet, u_q, u_q))
+        h1 = jnp.sqrt(jnp.einsum("cq,cqij,cqij->", wdet, gu, gu))
+        return l2, h1
+
+    def divergence_norm(self, u):
+        tv = self.tab_v
+        gu = jnp.einsum(
+            "qle,cej,cli->cqij", tv.gphi, self.geom.jinv, u[self.cd_v]
+        )
+        divu = jnp.einsum("cqii->cq", gu)
+        wdet = tv.w[None, :] * self.geom.detj[:, None]
+        return jnp.sqrt(jnp.einsum("cq,cq,cq->", wdet, divu, divu))
+
+    def pressure_norm(self, p):
+        tq = self.tab_q
+        p_q = jnp.einsum("ql,cl->cq", tq.phi, p[self.cd_q])
+        wdet = tq.w[None, :] * self.geom.detj[:, None]
+        return jnp.sqrt(jnp.einsum("cq,cq,cq->", wdet, p_q, p_q))
