@@ -10,3 +10,8 @@ jitted device solvers.
 from . import config  # noqa: F401  (enables x64 before anything else)
 
 __version__ = "0.1.0"
+
+from .driver import get_default_parser, get_solver, run_solver  # noqa: E402
+from .fem.bcs import BCSet, DirichletBC  # noqa: E402
+from .problem import NavierStokesProblem  # noqa: E402
+from .solver import ConstantPressureSolver, ScottVogeliusSolver  # noqa: E402

@@ -23,13 +23,32 @@ import numpy as np  # noqa: E402
 #: dtype of outer solver arithmetic (residuals, Krylov vectors, dots).
 real_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-#: dtype used inside the MG preconditioner / patch smoother hot loops.
-pc_dtype = jnp.float32 if os.environ.get("ALFI_TPU_PC_F32", "0") == "1" else real_dtype
-
 #: host-side index dtype.
 index_dtype = np.int32
 
+_pc_dtype = None
+
+
+def pc_dtype():
+    """dtype used for all dense FACTORISATIONS (patch LU, coarse LU, full
+    LU) and the MG preconditioner hot loops.
+
+    TPU XLA only implements LuDecomposition in f32 (v5e/v5p), and f64
+    arithmetic is emulated anyway — so on accelerators every factorisation
+    runs in f32 and f64 accuracy is recovered by iterative refinement /
+    the outer flexible Krylov loop.  On CPU (tests) we keep f64."""
+    global _pc_dtype
+    if _pc_dtype is None:
+        env = os.environ.get("ALFI_TPU_PC_DTYPE")
+        if env:
+            _pc_dtype = {"f32": jnp.float32, "f64": jnp.float64}[env]
+        elif jax.default_backend() == "cpu":
+            _pc_dtype = real_dtype
+        else:
+            _pc_dtype = jnp.float32
+    return _pc_dtype
+
 
 def set_pc_dtype(dtype):
-    global pc_dtype
-    pc_dtype = dtype
+    global _pc_dtype
+    _pc_dtype = dtype

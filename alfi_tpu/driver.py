@@ -1,0 +1,135 @@
+"""Shared CLI + Reynolds-continuation experiment loop.
+
+Mirrors /root/reference/alfi/driver.py: the same 20 flags (so reference
+users can switch without relearning the CLI), solver dispatch, and the
+try-load-checkpoint-else-solve continuation loop with per-Re npz
+checkpoints (the DumbCheckpoint analogue, keyed
+``checkpoint/<ndofs>/nssolution-Re-<re>``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+from .solver import BLUE, GREEN, ConstantPressureSolver, ScottVogeliusSolver
+from .utils.events import EVENTS
+
+
+def get_default_parser():
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--nref", type=int, default=1)
+    parser.add_argument("--nref-vis", type=int, default=0)
+    parser.add_argument("--baseN", type=int, default=16)
+    parser.add_argument("--k", type=int, default=2)
+    parser.add_argument("--stabilisation-weight", type=float, default=None)
+    parser.add_argument("--solver-type", type=str, default="almg",
+                        choices=["lu", "allu", "almg", "simple"])
+    parser.add_argument("--patch", type=str, default="star",
+                        choices=["star", "macro"])
+    parser.add_argument("--patch-composition", type=str, default="additive",
+                        choices=["additive", "multiplicative"])
+    parser.add_argument("--mh", type=str, default="uniform",
+                        choices=["uniform", "bary", "uniformbary"])
+    parser.add_argument("--stabilisation-type", type=str, default=None,
+                        choices=["none", "burman", "gls", "supg"])
+    parser.add_argument("--discretisation", type=str, required=True,
+                        choices=["pkp0", "sv"])
+    parser.add_argument("--gamma", type=float, default=1e4)
+    parser.add_argument("--clear", dest="clear", default=False,
+                        action="store_true")
+    parser.add_argument("--time", dest="time", default=False,
+                        action="store_true")
+    parser.add_argument("--mkl", dest="mkl", default=False,
+                        action="store_true")
+    parser.add_argument("--checkpoint", dest="checkpoint", default=False,
+                        action="store_true")
+    parser.add_argument("--paraview", dest="paraview", default=False,
+                        action="store_true")
+    parser.add_argument("--restriction", dest="restriction", default=False,
+                        action="store_true")
+    parser.add_argument("--rebalance", dest="rebalance", default=False,
+                        action="store_true")
+    parser.add_argument("--high-accuracy", dest="high_accuracy",
+                        default=False, action="store_true")
+    parser.add_argument("--smoothing", type=int, default=None)
+    return parser
+
+
+def get_solver(args, problem, hierarchy_callback=None):
+    solver_t = {"pkp0": ConstantPressureSolver,
+                "sv": ScottVogeliusSolver}[args.discretisation]
+    return solver_t(
+        problem,
+        solver_type=args.solver_type,
+        stabilisation_type=args.stabilisation_type,
+        nref=args.nref,
+        k=args.k,
+        gamma=args.gamma,
+        nref_vis=args.nref_vis,
+        patch=args.patch,
+        use_mkl=args.mkl,
+        supg_method="shakib",
+        stabilisation_weight=args.stabilisation_weight,
+        hierarchy=args.mh,
+        patch_composition=args.patch_composition,
+        restriction=args.restriction,
+        smoothing=args.smoothing,
+        rebalance_vertices=args.rebalance,
+        high_accuracy=args.high_accuracy,
+        hierarchy_callback=hierarchy_callback,
+    )
+
+
+def performance_info(solver):
+    """Per-event timing report, mirroring
+    /root/reference/alfi/driver.py:77-92 with the same metric
+    (time and time-per-1k-dofs, sorted by cost)."""
+    print(BLUE % "Some performance info:")
+    ndofs = solver.Z.dim
+    rows = sorted(EVENTS.items(), key=lambda kv: -kv[1]["time"])
+    for name, v in rows:
+        print(GREEN % (("%s:" % name).ljust(30)
+                       + "Time = % 6.2fs, Time/1kdofs = %.2fs"
+                       % (v["time"], 1000 * v["time"] / ndofs)))
+    if rows:
+        t = rows[0][1]["time"]
+        print(BLUE % ("% 5.1fs \t % 4.2fs \t %i" % (t, 1000 * t / ndofs,
+                                                    ndofs)))
+
+
+def run_solver(solver, res, args):
+    problemsize = solver.Z.dim
+    outdir = "output/%i/" % problemsize
+    chkptdir = "checkpoint/%i/" % problemsize
+    if args.clear:
+        shutil.rmtree(chkptdir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+    if args.checkpoint:
+        os.makedirs(chkptdir, exist_ok=True)
+    results = {}
+    for re in res:
+        path = chkptdir + "nssolution-Re-%s.npz" % re
+        try:
+            with np.load(path) as chk:
+                import jax.numpy as jnp
+
+                solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
+        except (FileNotFoundError, OSError, KeyError):
+            z, info_dict = solver.solve(re)
+            results[re] = info_dict
+            if args.checkpoint:
+                np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]))
+        if args.paraview:
+            os.makedirs(outdir, exist_ok=True)
+            from .utils.vtk import write_vtu
+
+            write_vtu(outdir + "velocity-Re-%s.vtu" % re, solver.mesh,
+                      solver.Z, solver.z)
+    for re in results:
+        print(results[re])
+    if args.time:
+        performance_info(solver)
+    return results

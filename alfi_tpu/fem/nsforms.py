@@ -241,6 +241,39 @@ class NSForm:
         return jax.vmap(cell_jac)(u_loc, p_loc, jinv, detj, vol, xq)
 
     # ------------------------------------------------------------------
+    # off-diagonal blocks (for the Schur fieldsplit preconditioner,
+    # /root/reference/alfi/solver.py:405-421)
+    # ------------------------------------------------------------------
+    def apply_pressure_gradient(self, p):
+        """B^T p : velocity rows of the -(p, div v) coupling."""
+        tv, tq = self.tab_v, self.tab_q
+        jinv, detj, _ = self._geom_args()
+        p_q = jnp.einsum("ql,cl->cq", tq.phi, p[self.cd_q])
+        gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
+        wdet = tv.w[None, :] * detj[:, None]
+        rv = -jnp.einsum("cq,cq,cqld->cld", wdet, p_q, gtest)
+        u = jnp.zeros((self.V.ndof, self.dim), dtype=rv.dtype)
+        return u.at[self.cd_v].add(rv)
+
+    def apply_divergence(self, u):
+        """B u : pressure rows of the -(div u, q) coupling."""
+        tv, tq = self.tab_v, self.tab_q
+        jinv, detj, _ = self._geom_args()
+        gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, jinv, u[self.cd_v])
+        divu = jnp.einsum("cqii->cq", gu)
+        wdet = tv.w[None, :] * detj[:, None]
+        rq = -jnp.einsum("cq,cq,ql->cl", wdet, divu, tq.phi)
+        p = jnp.zeros((self.Q.ndof,), dtype=rq.dtype)
+        return p.at[self.cd_q].add(rq)
+
+    def apply_pressure_massinv(self, minv, r):
+        """Mp^{-1} r for a DG pressure space (dofs uniquely cell-owned),
+        given per-cell inverse mass matrices ``minv`` (nc, nlq, nlq)."""
+        r_loc = r[self.cd_q]
+        out = jnp.einsum("clm,cm->cl", minv, r_loc)
+        return jnp.zeros_like(r).at[self.cd_q].add(out)
+
+    # ------------------------------------------------------------------
     # auxiliary quantities
     # ------------------------------------------------------------------
     def pressure_mass_inverse(self):

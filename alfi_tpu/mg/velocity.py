@@ -1,0 +1,238 @@
+"""Full-multigrid solver for the (nearly singular) AL velocity block.
+
+TPU-native replacement for the reference's fieldsplit_0 "almg" branch
+(/root/reference/alfi/solver.py:353-379): Richardson(1) wrapping a FULL
+multigrid cycle whose level smoother is FGMRES(6 in 2D / 10 in 3D)
+preconditioned by an additive star/macrostar patch smoother, and whose
+coarse grid is a (telescoped) direct LU — here a dense LU on one device.
+
+Everything per-Newton-step (coarse winds by injection, per-cell element
+tensors, batched patch LUs, coarse dense LU) is (re)built inside jit from
+(params, fine wind); the topology (patches, transfers, dof maps) is static
+host data baked into the closures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..fem import FunctionSpace, MixedFunctionSpace, NSForm, dg_lagrange
+from ..fem.bcs import BCSet
+from ..solvers.krylov import fgmres
+from ..solvers.linear import assemble_dense_velocity, vector_rows
+from .patches import build_patch_solver, macrostar_patches, star_patches
+from .schoeberl import SchoeberlTransfer
+from .transfer import injection, prolongation
+
+
+class MGLevel:
+    def __init__(self, V, form, mask_u, rows):
+        self.V = V
+        self.form = form
+        self.mask_u = mask_u  # (ndof, d)
+        self.mask_flat = mask_u.reshape(-1)
+        self.rows = rows  # (nc, nloc*d) flattened dof rows
+
+
+class VelocityMG:
+    """Geometric MG hierarchy for the velocity block of one solver.
+
+    Parameters
+    ----------
+    solver : NavierStokesSolver (supplies hierarchy, element, problem BCs,
+        graddiv mode, smoothing count, patch kind)
+    transfer_mode : 'standard' | 'schoeberl'
+        'schoeberl' enables the robust prolongation (the reference's
+        default via get_transfers, /root/reference/alfi/solver.py:588-597).
+    """
+
+    def __init__(self, solver, transfer_mode="schoeberl"):
+        mh = solver.mh
+        self.hierarchy = mh
+        problem = solver.problem
+        self.smoothing = solver.smoothing
+        #: use the Schoeberl ADJOINT for restriction too (--restriction
+        #: flag; default False = standard restriction, matching
+        #: /root/reference/alfi/solver.py:592-593)
+        self.schoeberl_restriction = getattr(solver, "restriction", False)
+        self.nlevels = len(mh)
+        d = mh[0].dim
+        self.d = d
+
+        elem = solver.Z.V.element
+        self.levels = []
+        spaces = []
+        for l, mesh in enumerate(mh):
+            if l == self.nlevels - 1:
+                V = solver.Z.V
+                form = solver.form
+                mask_u = solver.bcset.mask[0]
+            else:
+                from ..fem import VectorFunctionSpace
+
+                V = VectorFunctionSpace(mesh, elem)
+                Q = FunctionSpace(mesh, dg_lagrange(d, 0))
+                Z = MixedFunctionSpace(V, Q)
+                form = NSForm(V, Q, graddiv_mode=solver.form.graddiv_mode)
+                mask_u = BCSet(Z, problem.bcs(Z)).mask[0]
+            rows = jnp.asarray(np.asarray(vector_rows(V)))
+            self.levels.append(MGLevel(V, form, mask_u, rows))
+            spaces.append(V)
+
+        self.prolongs = [
+            prolongation(mh, l, spaces[l], spaces[l + 1])
+            for l in range(self.nlevels - 1)
+        ]
+        self.injects = [
+            injection(mh, l, spaces[l + 1], spaces[l])
+            for l in range(self.nlevels - 1)
+        ]
+        self.patch_solvers = []
+        for l in range(1, self.nlevels):
+            lev = self.levels[l]
+            if solver.patch == "macro":
+                ps = macrostar_patches(lev.V, np.asarray(lev.mask_flat))
+            else:
+                ps = star_patches(lev.V, np.asarray(lev.mask_flat))
+            self.patch_solvers.append(build_patch_solver(ps))
+
+        self.schoeberl = None
+        if transfer_mode == "schoeberl":
+            self.schoeberl = [
+                SchoeberlTransfer(self, l) for l in range(self.nlevels - 1)
+            ]
+
+    # ------------------------------------------------------------------
+    # per-level masked operator from element tensors
+    # ------------------------------------------------------------------
+    def level_apply(self, l, tensors, v):
+        """A_l v on (ndof, d) arrays with eliminated BCs."""
+        lev = self.levels[l]
+        v0 = (lev.mask_u * v).reshape(-1)
+        vloc = v0[lev.rows]
+        rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
+        r = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
+        r = r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.d)
+        return lev.mask_u * r + (1.0 - lev.mask_u) * v
+
+    # ------------------------------------------------------------------
+    def setup(self, u_fine, params):
+        """Build the per-Newton-step state: winds, tensors, patch LUs,
+        coarse LU.  Pure (jit-safe)."""
+        winds = [None] * self.nlevels
+        winds[-1] = u_fine
+        for l in range(self.nlevels - 2, -1, -1):
+            winds[l] = self.injects[l].apply(winds[l + 1])
+        tensors = [
+            self.levels[l].form.velocity_element_tensors(params, winds[l])
+            for l in range(self.nlevels)
+        ]
+        patch_lufacs = [
+            self.patch_solvers[l - 1][0](tensors[l])
+            for l in range(1, self.nlevels)
+        ]
+        from ..config import pc_dtype
+
+        lev0 = self.levels[0]
+        A0 = assemble_dense_velocity(lev0.form, winds[0], params,
+                                     lev0.mask_u)
+        coarse_lu = jax.scipy.linalg.lu_factor(A0.astype(pc_dtype()))
+        state = {
+            "tensors": tensors,
+            "patch_lufacs": patch_lufacs,
+            "coarse_lu": coarse_lu,
+        }
+        if self.schoeberl is not None:
+            state["schoeberl"] = [
+                t.setup(params) for t in self.schoeberl
+            ]
+        return state
+
+    # ------------------------------------------------------------------
+    def _coarse_solve(self, state, r):
+        from ..config import pc_dtype
+
+        lev0 = self.levels[0]
+        x = jax.scipy.linalg.lu_solve(
+            state["coarse_lu"], r.reshape(-1).astype(pc_dtype())
+        ).astype(r.dtype)
+        return (x.reshape(-1, self.d) * lev0.mask_u
+                + (1.0 - lev0.mask_u) * r)
+
+    def _smooth(self, l, state, b, x0):
+        """FGMRES(smoothing) + additive patch PC, fixed iterations
+        (ksp_convergence_test skip)."""
+        lev = self.levels[l]
+        tensors = state["tensors"][l]
+        lufac = state["patch_lufacs"][l - 1]
+        _, papply = self.patch_solvers[l - 1]
+
+        def A(v):
+            return self.level_apply(l, tensors, v)
+
+        def pc(r):
+            x = papply(lufac, (lev.mask_u * r).reshape(-1))
+            x = x.reshape(-1, self.d) * lev.mask_u
+            return x + (1.0 - lev.mask_u) * r
+
+        m = self.smoothing
+        x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0,
+                      maxit=m, restart=m)
+        return x
+
+    def _prolong(self, l, state, xc):
+        """correction prolongation coarse level l -> l+1."""
+        if self.schoeberl is not None:
+            xf = self.schoeberl[l].prolong(state["schoeberl"][l], xc)
+        else:
+            xf = self.prolongs[l].apply(xc)
+        return self.levels[l + 1].mask_u * xf
+
+    def _restrict(self, l, state, rf):
+        """residual restriction level l+1 -> l: the Schoeberl adjoint only
+        behind --restriction, else the standard adjoint (reference
+        default)."""
+        if self.schoeberl is not None and self.schoeberl_restriction:
+            rc = self.schoeberl[l].restrict(state["schoeberl"][l], rf)
+        else:
+            rc = self.prolongs[l].apply_transpose(rf)
+        return self.levels[l].mask_u * rc
+
+    def vcycle(self, l, state, b, x0):
+        """One V(1,1)-in-spirit cycle: smoother is the FGMRES(m)+patch
+        block used both pre and post, matching PETSc's default of reusing
+        mg_levels as down/up smoother."""
+        if l == 0:
+            return self._coarse_solve(state, b)
+        x = self._smooth(l, state, b, x0)
+        r = b - self.level_apply(l, state["tensors"][l], x)
+        rc = self._restrict(l - 1, state, r)
+        xc = self.vcycle(l - 1, state, rc,
+                         jnp.zeros_like(rc))
+        x = x + self._prolong(l - 1, state, xc)
+        return self._smooth(l, state, b, x)
+
+    def fmg(self, state, b):
+        """Full multigrid (pc_mg_type full): restrict the rhs to every
+        level, coarse-solve, then per level prolong + one V-cycle."""
+        bs = [None] * self.nlevels
+        bs[-1] = b
+        for l in range(self.nlevels - 2, -1, -1):
+            bs[l] = self._restrict(l, state, bs[l + 1])
+        x = self._coarse_solve(state, bs[0])
+        for l in range(1, self.nlevels):
+            x = self._prolong(l - 1, state, x)
+            x = self.vcycle(l, state, bs[l], x)
+        return x
+
+    def make_solve_A(self, state):
+        """rv -> MG-approximate A^{-1} rv (one Richardson iteration from
+        zero = one full cycle)."""
+
+        def solve_A(rv):
+            return self.fmg(state, rv)
+
+        return solve_A

@@ -1,0 +1,355 @@
+"""Reynolds-robust Navier-Stokes solvers (the reference's alfi/solver.py,
+re-designed TPU-first).
+
+The reference builds a 200-line PETSc options tree
+(/root/reference/alfi/solver.py:305-514); here each solver mode is an
+explicit jitted composition:
+
+* ``lu``    — full-system dense LU per Newton step (MUMPS analogue,
+              /root/reference/alfi/solver.py:396-403), with pressure
+              pinning when the problem has a nullspace (:182-189).
+* ``allu``  — Newton-FGMRES with the block-Schur PC; velocity block by
+              dense LU (:346-352).
+* ``almg``  — same, velocity block by one full-multigrid cycle with patch
+              smoothers and Schoeberl transfers (:353-379).
+
+Everything inside one Newton step (assembly, factorisation, the whole
+FGMRES) is a single jitted function of (z, F, params); Reynolds
+continuation changes only ``params`` so nothing recompiles along a sweep.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import real_dtype
+from .fem import (
+    FunctionSpace,
+    MixedFunctionSpace,
+    NSForm,
+    VectorFunctionSpace,
+    dg_lagrange,
+    lagrange,
+    pk_facet_bubble,
+)
+from .fem.bcs import BCSet
+from .solvers.fieldsplit import SchurPC, pressure_nullspace_projector
+from .solvers.krylov import fgmres
+from .solvers.linear import (
+    assemble_dense_mixed,
+    assemble_dense_velocity,
+    flatten_mixed,
+    lu_solve_closure,
+    make_jacobian_matvec,
+    refined_lu_solve_closure,
+    unflatten_mixed,
+)
+from .solvers.newton import newton
+from .utils.tree import tnorm, tscale
+
+GREEN = "\033[1;37;32m%s\033[0m"
+RED = "\033[1;37;31m%s\033[0m"
+BLUE = "\033[1;37;34m%s\033[0m"
+
+
+class NavierStokesSolver:
+    """Base solver; subclasses fix the discretisation
+    (/root/reference/alfi/solver.py:557-662)."""
+
+    def __init__(self, problem, nref=1, solver_type="almg",
+                 stabilisation_type=None, supg_method="shakib",
+                 supg_magic=9.0, gamma=10000, nref_vis=0, k=5,
+                 patch="star", hierarchy="bary", use_mkl=False,
+                 stabilisation_weight=None, patch_composition="additive",
+                 restriction=False, smoothing=None,
+                 rebalance_vertices=False, hierarchy_callback=None,
+                 high_accuracy=False, verbose=True):
+        assert solver_type in {"almg", "allu", "lu", "simple"}, (
+            "Invalid solver type %s" % solver_type)
+        if stabilisation_type == "none":
+            stabilisation_type = None
+        assert stabilisation_type in {None, "gls", "supg", "burman"}
+        assert hierarchy in {"uniform", "bary", "uniformbary"}
+        assert patch in {"macro", "star"}
+        if hierarchy != "bary" and patch == "macro":
+            raise ValueError("macro patch only makes sense with a bary hierarchy")
+
+        self.problem = problem
+        self.nref = nref
+        self.solver_type = solver_type
+        self.stabilisation_type = stabilisation_type
+        self.supg_method = supg_method
+        self.supg_magic = supg_magic
+        self.stabilisation_weight = stabilisation_weight
+        self.patch = patch
+        self.patch_composition = patch_composition
+        self.restriction = restriction
+        self.hierarchy = hierarchy
+        self.high_accuracy = high_accuracy
+        self.verbose = verbose
+
+        mh = problem.mesh_hierarchy(hierarchy, nref)
+        if hierarchy_callback is not None:
+            mh = hierarchy_callback(mh)
+        self.mh = mh
+        mesh = mh[-1]
+        self.mesh = mesh
+        self.tdim = mesh.dim
+        if smoothing is None:
+            smoothing = 10 if self.tdim > 2 else 6
+        self.smoothing = smoothing
+
+        self.char_L = problem.char_length()
+        self.char_U = problem.char_velocity()
+        self.gamma = float(gamma)
+        self.nu_val = 1.0
+        self.advect_val = 0.0
+
+        Z = self.function_space(mesh, k)
+        self.Z = Z
+        self.k = k
+        if self.verbose:
+            print("Number of degrees of freedom: %s" % Z.dim)
+            print("Number of velocity degrees of freedom: %s"
+                  % (Z.V.ndof * Z.V.value_size))
+
+        bcs = problem.bcs(Z)
+        has_nsp = problem.has_nullspace()
+        pin = has_nsp and solver_type == "lu"
+        self.bcset = BCSet(Z, bcs, pin_pressure=pin)
+        self.nsp = has_nsp and not pin
+
+        self.form = self.make_form()
+        self.area = float(self.form.area())
+        self.z = self.bcset.apply(Z.zero())
+        self.z_last = self.z
+
+        self.stabilisation = None
+        self._setup_stabilisation()
+        self._tolerances()
+        self._build_step_functions()
+
+    # ------------------------------------------------------------------
+    # subclass hooks
+    # ------------------------------------------------------------------
+    def function_space(self, mesh, k):
+        raise NotImplementedError
+
+    def make_form(self):
+        raise NotImplementedError
+
+    def _setup_stabilisation(self):
+        if self.stabilisation_type is None:
+            return
+        from .stabilisation import make_stabilisation
+
+        self.stabilisation = make_stabilisation(
+            self.form, self.stabilisation_type, self.supg_method,
+            self.supg_magic, self.stabilisation_weight, self.bcset)
+        self.form.stabilisation = self.stabilisation.residual_hook
+
+    # ------------------------------------------------------------------
+    def _tolerances(self):
+        if self.high_accuracy:
+            tol = dict(ksp_rtol=1e-12, ksp_atol=1e-12, snes_rtol=1e-10,
+                       snes_atol=1e-10, snes_stol=1e-10)
+        elif self.tdim == 2:
+            tol = dict(ksp_rtol=1e-9, ksp_atol=1e-10, snes_rtol=1e-9,
+                       snes_atol=1e-8, snes_stol=1e-6)
+        else:
+            tol = dict(ksp_rtol=1e-8, ksp_atol=1e-8, snes_rtol=1e-8,
+                       snes_atol=1e-8, snes_stol=1e-6)
+        self.tolerances = tol
+
+    def params(self):
+        return {
+            "nu": jnp.asarray(self.nu_val, dtype=real_dtype),
+            "gamma": jnp.asarray(self.gamma, dtype=real_dtype),
+            "advect": jnp.asarray(self.advect_val, dtype=real_dtype),
+        }
+
+    # ------------------------------------------------------------------
+    # jitted per-Newton-step linear solves
+    # ------------------------------------------------------------------
+    def residual_masked(self, z, params):
+        return self.bcset.zero_rows(self.form.residual(z, params))
+
+    def _build_step_functions(self):
+        form, bcset, Z = self.form, self.bcset, self.Z
+        tol = self.tolerances
+        project = pressure_nullspace_projector(Z) if self.nsp else None
+
+        @jax.jit
+        def residual_fn(z, params):
+            return self.residual_masked(z, params)
+
+        self._residual_jit = residual_fn
+
+        if self.solver_type == "lu":
+            @jax.jit
+            def lin(z, F, params):
+                A = assemble_dense_mixed(form, z, params, bcset)
+                solve = refined_lu_solve_closure(
+                    A, rtol=min(tol["ksp_rtol"], 1e-12))
+                x = solve(-flatten_mixed(F))
+                return bcset.zero(unflatten_mixed(x, Z)), jnp.asarray(1)
+
+            self._linear_step = lin
+        elif self.solver_type == "allu":
+            mask_u = bcset.mask[0]
+            d = self.tdim
+
+            @jax.jit
+            def lin(z, F, params):
+                Av = assemble_dense_velocity(form, z[0], params, mask_u)
+                flat_solve = refined_lu_solve_closure(Av, rtol=1e-10)
+
+                def solve_A(rv):
+                    return flat_solve(rv.reshape(-1)).reshape(-1, d)
+
+                pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+                J = make_jacobian_matvec(form.residual, bcset, z, params)
+                dz, info = fgmres(
+                    J, tscale(-1.0, F), pc=pc, rtol=tol["ksp_rtol"],
+                    atol=tol["ksp_atol"], maxit=500, restart=30,
+                    project=project)
+                return bcset.zero(dz), info["iters"]
+
+            self._linear_step = lin
+        elif self.solver_type == "almg":
+            self._linear_step = self._build_almg_step(project)
+        else:
+            raise NotImplementedError(self.solver_type)
+
+    def _build_almg_step(self, project):
+        from .mg.velocity import VelocityMG
+
+        self.vmg = VelocityMG(self, transfer_mode="schoeberl")
+        form, bcset = self.form, self.bcset
+        tol = self.tolerances
+        mask_u = bcset.mask[0]
+        vmg = self.vmg
+
+        @jax.jit
+        def lin(z, F, params):
+            state = vmg.setup(z[0], params)
+            solve_A = vmg.make_solve_A(state)
+            pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+            J = make_jacobian_matvec(form.residual, bcset, z, params)
+            dz, info = fgmres(
+                J, tscale(-1.0, F), pc=pc, rtol=tol["ksp_rtol"],
+                atol=tol["ksp_atol"], maxit=500, restart=30,
+                project=project)
+            return bcset.zero(dz), info["iters"]
+
+        return lin
+
+    # ------------------------------------------------------------------
+    def message(self, msg):
+        if self.verbose:
+            print(msg)
+
+    def solve(self, re):
+        """Solve at Reynolds number ``re`` (continuation from the current
+        state), mirroring /root/reference/alfi/solver.py:257-303."""
+        self.z_last = self.z
+        self.message(GREEN % ("Solving for Re = %s" % re))
+        if re == 0:
+            self.message(GREEN % "Solving Stokes")
+            self.advect_val = 0.0
+            self.nu_val = self.char_L * self.char_U
+        else:
+            self.advect_val = 1.0
+            self.nu_val = self.char_L * self.char_U / re
+        params = self.params()
+
+        if self.stabilisation is not None:
+            self.stabilisation.update(self.z[0])
+
+        start = _time.perf_counter()
+
+        def monitor(it, fnorm):
+            self.message("  %3d SNES Function norm %14.12e" % (it, fnorm))
+
+        tol = self.tolerances
+        z, ninfo = newton(
+            lambda zz: self._residual_jit(zz, params),
+            lambda zz, FF: self._linear_step(zz, FF, params),
+            self.z, maxit=20, rtol=tol["snes_rtol"], atol=tol["snes_atol"],
+            stol=tol["snes_stol"], monitor=monitor if self.verbose else None)
+        elapsed = _time.perf_counter() - start
+        self.message(GREEN % (
+            "Nonlinear solve %s in %d iterations (%s)" % (
+                "converged" if ninfo.converged else "DIVERGED",
+                ninfo.nonlinear_iter, ninfo.reason)))
+
+        if self.nsp:
+            u, p = z
+            pint = float(self.form.pressure_integral(p))
+            z = (u, p - pint / self.area)
+        self.z = z
+
+        # gamma-free residual sanity check
+        # (/root/reference/alfi/solver.py:282-291)
+        params0 = dict(params, gamma=jnp.zeros((), dtype=real_dtype))
+        F_ngd = self._residual_jit(z, params0)
+        F = self._residual_jit(z, params)
+        self.message(BLUE % ("Residual without grad-div term: %.14e"
+                             % float(tnorm(F_ngd))))
+        self.message(BLUE % ("Residual with grad-div term:    %.14e"
+                             % float(tnorm(F))))
+
+        linear_its = ninfo.linear_iter
+        nonlinear_its = max(1, ninfo.nonlinear_iter)
+        re_time = elapsed / 60.0
+        self.message(GREEN % (
+            "Time taken: %.2f min in %d iterations "
+            "(%.2f Krylov iters per Newton step)"
+            % (re_time, linear_its, linear_its / float(nonlinear_its))))
+        info_dict = {
+            "Re": re,
+            "nu": self.nu_val,
+            "linear_iter": linear_its,
+            "nonlinear_iter": ninfo.nonlinear_iter,
+            "time": re_time,
+            "converged": ninfo.converged,
+        }
+        return (self.z, info_dict)
+
+
+class ConstantPressureSolver(NavierStokesSolver):
+    """[Pk]^d - P0, FacetBubble-enriched when k < dim; cell-averaged
+    grad-div (/root/reference/alfi/solver.py:557-605)."""
+
+    def function_space(self, mesh, k):
+        d = mesh.dim
+        if k < d:
+            eu = pk_facet_bubble(d, k)
+        else:
+            eu = lagrange(d, k)
+        V = VectorFunctionSpace(mesh, eu)
+        Q = FunctionSpace(mesh, dg_lagrange(d, 0))
+        return MixedFunctionSpace(V, Q)
+
+    def make_form(self):
+        return NSForm(self.Z.V, self.Z.Q, graddiv_mode="cell_avg",
+                      rhs=self.problem.rhs())
+
+
+class ScottVogeliusSolver(NavierStokesSolver):
+    """[Pk]^d - DG(k-1) on barycentric meshes; exact grad-div
+    (/root/reference/alfi/solver.py:608-662)."""
+
+    def function_space(self, mesh, k):
+        d = mesh.dim
+        V = VectorFunctionSpace(mesh, lagrange(d, k))
+        Q = FunctionSpace(mesh, dg_lagrange(d, k - 1))
+        return MixedFunctionSpace(V, Q)
+
+    def make_form(self):
+        return NSForm(self.Z.V, self.Z.Q, graddiv_mode="exact",
+                      rhs=self.problem.rhs())

@@ -1,0 +1,153 @@
+"""Linearised operators and direct solves for the mixed system.
+
+Replaces the PETSc Mat/LU machinery of the reference
+(/root/reference/alfi/solver.py:396-421 "lu"/"allu" branches, MUMPS):
+
+* matrix-free Jacobian action via ``jax.linearize`` of the residual (the
+  reference's MatNest matvec becomes one fused XLA kernel),
+* dense global Jacobian assembly from per-cell element tensors — the
+  TPU equivalent of a direct factorisation: gathered-to-one-device LU
+  (full system for "lu", velocity block for "allu" and the MG coarse grid,
+  the telescoping analogue of /root/reference/alfi/solver.py:354-378),
+* BC handling by row/col elimination with identity diagonal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import real_dtype
+
+
+def flatten_mixed(z):
+    u, p = z
+    return jnp.concatenate([u.reshape(-1), p])
+
+
+def unflatten_mixed(x, Z):
+    nV = Z.V.ndof * Z.V.value_size
+    u = x[:nV].reshape(Z.V.ndof, Z.V.value_size)
+    return (u, x[nV:])
+
+
+def make_jacobian_matvec(residual_fn, bcset, z, params):
+    """v -> J(z) v with eliminated rows/cols (identity on BC dofs).
+
+    residual_fn(z, params) must be the RAW (un-masked) residual; masking
+    happens here so the Jacobian stays symmetric-consistent with the
+    masked residual used by Newton."""
+
+    _, jvp = jax.linearize(lambda zz: residual_fn(zz, params), z)
+
+    def matvec(v):
+        Jv = jvp(bcset.zero(v))
+        return bcset.identity_rows(bcset.zero_rows(Jv), v)
+
+    return matvec
+
+
+def vector_rows(space):
+    """(nc, nloc*d) flattened global row indices of a vector space, with
+    flat index dof*d + component (the BAIJ-like blocking of
+    /root/reference/alfi/solver.py:512)."""
+    d = space.value_size
+    cd = jnp.asarray(space.cell_dofs)
+    return (cd[:, :, None] * d + jnp.arange(d)[None, None, :]).reshape(
+        cd.shape[0], -1
+    )
+
+
+def assemble_dense_mixed(form, z, params, bcset):
+    """Global dense Jacobian of the mixed residual at z, BC-eliminated.
+
+    Layout: [u dofs (dof*d + comp) | p dofs].  Only sane for the coarse /
+    small problems where the reference would call MUMPS."""
+    Z = form_space(form)
+    Juu, Jup, Jpu, Jpp = form.mixed_element_tensors(z, params)
+    d = form.dim
+    nV = form.V.ndof * d
+    N = nV + form.Q.ndof
+    rv = vector_rows(form.V)  # (nc, nlv*d)
+    rq = nV + jnp.asarray(form.Q.cell_dofs)  # (nc, nlq)
+    A = jnp.zeros((N, N), dtype=real_dtype)
+    A = A.at[rv[:, :, None], rv[:, None, :]].add(Juu)
+    A = A.at[rv[:, :, None], rq[:, None, :]].add(Jup)
+    A = A.at[rq[:, :, None], rv[:, None, :]].add(Jpu)
+    A = A.at[rq[:, :, None], rq[:, None, :]].add(Jpp)
+    m = flatten_mixed(bcset.mask)
+    A = m[:, None] * A * m[None, :] + jnp.diag(1.0 - m)
+    return A
+
+
+def form_space(form):
+    from ..fem.spaces import MixedFunctionSpace
+
+    return MixedFunctionSpace(form.V, form.Q)
+
+
+def assemble_dense_velocity(form, wind, params, mask_u):
+    """Dense velocity-block Jacobian (viscous + grad-div + linearised
+    advection at ``wind``), BC-eliminated."""
+    T = form.velocity_element_tensors(params, wind)  # (nc, nlv*d, nlv*d)
+    rows = vector_rows(form.V)
+    N = form.V.ndof * form.dim
+    A = jnp.zeros((N, N), dtype=real_dtype)
+    A = A.at[rows[:, :, None], rows[:, None, :]].add(T)
+    m = mask_u.reshape(-1)
+    return m[:, None] * A * m[None, :] + jnp.diag(1.0 - m)
+
+
+def lu_solve_closure(A):
+    """Factor once (in pc_dtype — TPU XLA only implements LU in f32),
+    return x -> approx A^{-1} x on flat vectors."""
+    from ..config import pc_dtype
+
+    dt = pc_dtype()
+    lu, piv = jax.scipy.linalg.lu_factor(A.astype(dt))
+
+    def solve(b):
+        return jax.scipy.linalg.lu_solve((lu, piv), b.astype(dt)).astype(
+            b.dtype)
+
+    return solve
+
+
+def refined_lu_solve_closure(A, rtol=1e-12, maxit=40):
+    """Mixed-precision direct solve: f32 (pc_dtype) factorisation + f64
+    iterative refinement — the TPU-native equivalent of MUMPS' full-
+    precision LU (/root/reference/alfi/solver.py:396-403).  Converges to
+    f64 accuracy as long as cond(A) stays within f32 range; the refinement
+    loop is a jittable lax.while_loop."""
+    from jax import lax
+
+    from ..config import pc_dtype
+
+    dt = pc_dtype()
+    lu, piv = jax.scipy.linalg.lu_factor(A.astype(dt))
+
+    def base(b):
+        return jax.scipy.linalg.lu_solve((lu, piv), b.astype(dt)).astype(
+            b.dtype)
+
+    if A.dtype == dt:
+        return base
+
+    def solve(b):
+        bnorm = jnp.linalg.norm(b)
+        x0 = base(b)
+
+        def cond(state):
+            x, r, it = state
+            return (jnp.linalg.norm(r) > rtol * bnorm) & (it < maxit)
+
+        def body(state):
+            x, r, it = state
+            x = x + base(r)
+            return x, b - A @ x, it + 1
+
+        x, r, _ = lax.while_loop(cond, body,
+                                 (x0, b - A @ x0, jnp.asarray(0)))
+        return x
+
+    return solve
