@@ -89,6 +89,34 @@ def _eval_monomial_grads(exps, pts):
     return out
 
 
+def _eval_monomial_hess(exps, pts):
+    """(npts, nmono, d, d) second derivatives (for SUPG strong residuals,
+    /root/reference/alfi/solver.py:213-214)."""
+    npts, d = pts.shape
+    out = np.zeros((npts, len(exps), d, d))
+    for j, e in enumerate(exps):
+        for ax1 in range(d):
+            for ax2 in range(d):
+                e2 = list(e)
+                if ax1 == ax2:
+                    if e[ax1] < 2:
+                        continue
+                    c = e[ax1] * (e[ax1] - 1)
+                    e2[ax1] -= 2
+                else:
+                    if e[ax1] == 0 or e[ax2] == 0:
+                        continue
+                    c = e[ax1] * e[ax2]
+                    e2[ax1] -= 1
+                    e2[ax2] -= 1
+                g = np.full(npts, float(c))
+                for ax, p in enumerate(e2):
+                    if p:
+                        g *= pts[:, ax] ** p
+                out[:, j, ax1, ax2] = g
+    return out
+
+
 def barycentric(pts, d):
     """(npts, d+1) barycentric coords on the reference simplex."""
     lam0 = 1.0 - pts.sum(axis=1, keepdims=True)
@@ -102,7 +130,7 @@ class Element:
     """
 
     def __init__(self, dim, degree, nodes, entities, span_eval, span_grad,
-                 name):
+                 name, span_hess=None):
         self.dim = dim
         self.degree = degree  # max polynomial degree (for quadrature)
         self.nodes = np.asarray(nodes, float)
@@ -111,6 +139,7 @@ class Element:
         self.entities = entities
         self._span_eval = span_eval
         self._span_grad = span_grad
+        self._span_hess = span_hess
         self.name = name
         V = span_eval(self.nodes)  # (nloc, nspan)
         assert V.shape == (self.nloc, self.nloc), (
@@ -126,6 +155,13 @@ class Element:
         """(npts, nloc, d) nodal basis gradients."""
         g = self._span_grad(pts)  # (npts, nspan, d)
         return _chop(np.einsum("psd,sl->pld", g, self._coeff))
+
+    def tabulate_hess(self, pts):
+        """(npts, nloc, d, d) nodal basis second derivatives."""
+        if self._span_hess is None:
+            raise NotImplementedError(f"{self.name} has no hessian rule")
+        h = self._span_hess(np.atleast_2d(pts))  # (npts, nspan, d, d)
+        return _chop(np.einsum("psde,sl->plde", h, self._coeff))
 
     def __repr__(self):
         return f"{self.name}(d={self.dim})"
@@ -191,6 +227,7 @@ def lagrange(d, k):
         lambda p: _eval_monomials(exps, np.atleast_2d(p)),
         lambda p: _eval_monomial_grads(exps, np.atleast_2d(p)),
         f"P{k}",
+        span_hess=lambda p: _eval_monomial_hess(exps, np.atleast_2d(p)),
     )
 
 
@@ -205,6 +242,7 @@ def dg_lagrange(d, k):
         lambda p: _eval_monomials(exps, np.atleast_2d(p)),
         lambda p: _eval_monomial_grads(exps, np.atleast_2d(p)),
         f"DG{k}",
+        span_hess=lambda p: _eval_monomial_hess(exps, np.atleast_2d(p)),
     )
 
 
@@ -243,7 +281,30 @@ def _bubble_eval(d):
             cols.append(g)
         return np.stack(cols, axis=1)
 
-    return ev, gr
+    def hs(pts):
+        pts = np.atleast_2d(pts)
+        lam = barycentric(pts, d)
+        dlam = np.zeros((d + 1, d))
+        dlam[0, :] = -1.0
+        for i in range(d):
+            dlam[i + 1, i] = 1.0
+        cols = []
+        for tri in facets:
+            H = np.zeros((len(pts), d, d))
+            for j1 in tri:
+                for j2 in tri:
+                    if j1 == j2:
+                        continue
+                    prod = np.ones(len(pts)) * scale
+                    for j3 in tri:
+                        if j3 != j1 and j3 != j2:
+                            prod = prod * lam[:, j3]
+                    H += prod[:, None, None] * np.outer(
+                        dlam[j1], dlam[j2])[None, :, :]
+            cols.append(H)
+        return np.stack(cols, axis=1)
+
+    return ev, gr, hs
 
 
 @lru_cache(maxsize=None)
@@ -253,8 +314,8 @@ def facet_bubble(d):
     facets = local_facets(d)
     nodes = np.array([verts[list(tri)].mean(axis=0) for tri in facets])
     ents = [(FACET, f, 0) for f in range(d + 1)]
-    ev, gr = _bubble_eval(d)
-    return Element(d, d, nodes, ents, ev, gr, f"FB{d}")
+    ev, gr, hs = _bubble_eval(d)
+    return Element(d, d, nodes, ents, ev, gr, f"FB{d}", span_hess=hs)
 
 
 @lru_cache(maxsize=None)
@@ -273,7 +334,7 @@ def pk_facet_bubble(d, k):
     nodes = np.vstack([pk_nodes, fb_nodes])
     ents = list(pk_ents) + [(FACET, f, 0) for f in range(d + 1)]
     exps = _monomials(d, k)
-    bev, bgr = _bubble_eval(d)
+    bev, bgr, bhs = _bubble_eval(d)
 
     def ev(pts):
         pts = np.atleast_2d(pts)
@@ -285,4 +346,11 @@ def pk_facet_bubble(d, k):
             [_eval_monomial_grads(exps, pts), bgr(pts)], axis=1
         )
 
-    return Element(d, max(k, d), nodes, ents, ev, gr, f"P{k}FB")
+    def hs(pts):
+        pts = np.atleast_2d(pts)
+        return np.concatenate(
+            [_eval_monomial_hess(exps, pts), bhs(pts)], axis=1
+        )
+
+    return Element(d, max(k, d), nodes, ents, ev, gr, f"P{k}FB",
+                   span_hess=hs)

@@ -172,7 +172,9 @@ class NSForm:
         Rv = jnp.zeros_like(u).at[self.cd_v].add(rv)
         Rq = jnp.zeros_like(p).at[self.cd_q].add(rq)
         if self.stabilisation is not None:
-            Rv = Rv + self.stabilisation(z, params)
+            Sv, Sq = self.stabilisation(z, params)
+            Rv = Rv + Sv
+            Rq = Rq + Sq
         return (Rv, Rq)
 
     def velocity_residual(self, u, params, wind=None):

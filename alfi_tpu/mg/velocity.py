@@ -49,11 +49,19 @@ class VelocityMG:
         default via get_transfers, /root/reference/alfi/solver.py:588-597).
     """
 
-    def __init__(self, solver, transfer_mode="schoeberl"):
+    def __init__(self, solver, transfer_mode="schoeberl", smoother="patch",
+                 smoother_driver="fgmres", cycle="full"):
         mh = solver.mh
         self.hierarchy = mh
         problem = solver.problem
         self.smoothing = solver.smoothing
+        #: 'patch' or 'jacobi' (the graddiv study's weak baseline,
+        #: /root/reference/examples/graddiv/graddiv.py:140-147)
+        self.smoother = smoother
+        #: 'fgmres' (NS solver) or 'chebyshev' (graddiv harness)
+        self.smoother_driver = smoother_driver
+        #: 'full' (FMG, the NS solver), 'w' or 'v' (graddiv harness)
+        self.cycle = cycle
         #: use the Schoeberl ADJOINT for restriction too (--restriction
         #: flag; default False = standard restriction, matching
         #: /root/reference/alfi/solver.py:592-593)
@@ -130,10 +138,16 @@ class VelocityMG:
             self.levels[l].form.velocity_element_tensors(params, winds[l])
             for l in range(self.nlevels)
         ]
-        patch_lufacs = [
-            self.patch_solvers[l - 1][0](tensors[l])
-            for l in range(1, self.nlevels)
-        ]
+        if self.smoother == "patch":
+            patch_lufacs = [
+                self.patch_solvers[l - 1][0](tensors[l])
+                for l in range(1, self.nlevels)
+            ]
+        else:  # jacobi: operator diagonals per level
+            patch_lufacs = [
+                self._assemble_diag(l, tensors[l])
+                for l in range(1, self.nlevels)
+            ]
         from ..config import pc_dtype
 
         lev0 = self.levels[0]
@@ -149,7 +163,55 @@ class VelocityMG:
             state["schoeberl"] = [
                 t.setup(params) for t in self.schoeberl
             ]
+        if self.smoother_driver == "chebyshev":
+            state["lmax"] = [
+                self._estimate_lmax(l, state)
+                for l in range(1, self.nlevels)
+            ]
         return state
+
+    def _assemble_diag(self, l, tensors):
+        """Operator diagonal (flat) with 1.0 on constrained dofs."""
+        lev = self.levels[l]
+        dloc = jnp.einsum("cii->ci", tensors)
+        diag = jnp.zeros((lev.V.ndof * self.d,), dtype=dloc.dtype)
+        diag = diag.at[lev.rows].add(dloc)
+        mf = lev.mask_flat
+        return mf * diag + (1.0 - mf)
+
+    def _smoother_pc(self, l, state):
+        lev = self.levels[l]
+        if self.smoother == "patch":
+            lufac = state["patch_lufacs"][l - 1]
+            _, papply = self.patch_solvers[l - 1]
+
+            def pc(r):
+                x = papply(lufac, (lev.mask_u * r).reshape(-1))
+                x = x.reshape(-1, self.d) * lev.mask_u
+                return x + (1.0 - lev.mask_u) * r
+
+            return pc
+        diag = state["patch_lufacs"][l - 1].reshape(-1, self.d)
+
+        def pc(r):
+            return r / diag
+
+        return pc
+
+    def _estimate_lmax(self, l, state, iters=10):
+        """Power iteration on pc(A .) for the Chebyshev bounds (the PETSc
+        esteig analogue)."""
+        lev = self.levels[l]
+        tensors = state["tensors"][l]
+        pc = self._smoother_pc(l, state)
+        x = lev.mask_u * jnp.ones((lev.V.ndof, self.d), dtype=real_dtype)
+        x = x / jnp.linalg.norm(x)
+        lam = jnp.asarray(1.0, dtype=real_dtype)
+        for _ in range(iters):
+            y = pc(self.level_apply(l, tensors, x))
+            lam = jnp.linalg.norm(y)
+            x = y / (lam + 1e-300)
+        return lam
 
     # ------------------------------------------------------------------
     def _coarse_solve(self, state, r):
@@ -163,22 +225,21 @@ class VelocityMG:
                 + (1.0 - lev0.mask_u) * r)
 
     def _smooth(self, l, state, b, x0):
-        """FGMRES(smoothing) + additive patch PC, fixed iterations
-        (ksp_convergence_test skip)."""
-        lev = self.levels[l]
+        """Fixed-iteration level smoother: FGMRES(smoothing)+PC for the NS
+        solver (ksp_convergence_test skip), or Chebyshev(smoothing)+PC for
+        the graddiv harness (a LINEAR smoother, CG-compatible)."""
         tensors = state["tensors"][l]
-        lufac = state["patch_lufacs"][l - 1]
-        _, papply = self.patch_solvers[l - 1]
+        pc = self._smoother_pc(l, state)
 
         def A(v):
             return self.level_apply(l, tensors, v)
 
-        def pc(r):
-            x = papply(lufac, (lev.mask_u * r).reshape(-1))
-            x = x.reshape(-1, self.d) * lev.mask_u
-            return x + (1.0 - lev.mask_u) * r
-
         m = self.smoothing
+        if self.smoother_driver == "chebyshev":
+            from ..solvers.krylov import chebyshev
+
+            return chebyshev(A, b, pc, x0=x0, maxit=m,
+                             lmax=state["lmax"][l - 1])
         x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0,
                       maxit=m, restart=m)
         return x
@@ -201,18 +262,19 @@ class VelocityMG:
             rc = self.prolongs[l].apply_transpose(rf)
         return self.levels[l].mask_u * rc
 
-    def vcycle(self, l, state, b, x0):
-        """One V(1,1)-in-spirit cycle: smoother is the FGMRES(m)+patch
-        block used both pre and post, matching PETSc's default of reusing
-        mg_levels as down/up smoother."""
+    def vcycle(self, l, state, b, x0, ncoarse=1):
+        """One V(1,1)-in-spirit cycle (ncoarse=2: W-cycle): the smoother
+        block is used both pre and post, matching PETSc's default of
+        reusing mg_levels as down/up smoother."""
         if l == 0:
             return self._coarse_solve(state, b)
         x = self._smooth(l, state, b, x0)
-        r = b - self.level_apply(l, state["tensors"][l], x)
-        rc = self._restrict(l - 1, state, r)
-        xc = self.vcycle(l - 1, state, rc,
-                         jnp.zeros_like(rc))
-        x = x + self._prolong(l - 1, state, xc)
+        for _ in range(ncoarse if l > 1 else 1):
+            r = b - self.level_apply(l, state["tensors"][l], x)
+            rc = self._restrict(l - 1, state, r)
+            xc = self.vcycle(l - 1, state, rc, jnp.zeros_like(rc),
+                             ncoarse=ncoarse)
+            x = x + self._prolong(l - 1, state, xc)
         return self._smooth(l, state, b, x)
 
     def fmg(self, state, b):
@@ -230,9 +292,14 @@ class VelocityMG:
 
     def make_solve_A(self, state):
         """rv -> MG-approximate A^{-1} rv (one Richardson iteration from
-        zero = one full cycle)."""
+        zero = one cycle of the configured kind)."""
+        L = self.nlevels - 1
 
         def solve_A(rv):
-            return self.fmg(state, rv)
+            if self.cycle == "full":
+                return self.fmg(state, rv)
+            ncoarse = 2 if self.cycle == "w" else 1
+            return self.vcycle(L, state, rv, jnp.zeros_like(rv),
+                               ncoarse=ncoarse)
 
         return solve_A

@@ -166,11 +166,16 @@ class NavierStokesSolver:
         self.tolerances = tol
 
     def params(self):
-        return {
+        p = {
             "nu": jnp.asarray(self.nu_val, dtype=real_dtype),
             "gamma": jnp.asarray(self.gamma, dtype=real_dtype),
             "advect": jnp.asarray(self.advect_val, dtype=real_dtype),
         }
+        if self.stabilisation is not None:
+            # frozen test-function wind = previous-Re velocity (the
+            # reference's z_last, /root/reference/alfi/solver.py:203,258)
+            p["wind"] = self.z_last[0]
+        return p
 
     # ------------------------------------------------------------------
     # jitted per-Newton-step linear solves

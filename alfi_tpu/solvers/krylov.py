@@ -264,7 +264,7 @@ def fixed_fgmres(A, b, pc, maxit, x0=None):
 
 
 def chebyshev(A, b, pc, x0=None, maxit=2, lmin=None, lmax=None,
-              eig_scale=(0.3, 1.1)):
+              eig_scale=(0.1, 1.1)):
     """Chebyshev smoother (graddiv harness jacobi branch,
     /root/reference/examples/graddiv/graddiv.py:99-111).  Eigenvalue bounds
     (for the preconditioned operator) must be supplied; the usual PETSc
