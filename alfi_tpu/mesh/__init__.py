@@ -1,4 +1,5 @@
 from .core import Mesh
+from .domains import bfs2d_mesh, bfs3d_mesh, dfg2d_mesh
 from .generators import (
     box_mesh,
     gmsh_read,

@@ -1,5 +1,13 @@
+from .bfs import (
+    ThreeDimBackwardsFacingStepProblem,
+    TwoDimBackwardsFacingStepProblem,
+)
+from .dfg import DfgBenchmarkProblem
 from .ldc import (
     ThreeDimLidDrivenCavityProblem,
     TwoDimLidDrivenCavityProblem,
 )
-from .mms import TwoDimLidDrivenCavityMMSProblem
+from .mms import (
+    ThreeDimLidDrivenCavityMMSProblem,
+    TwoDimLidDrivenCavityMMSProblem,
+)

@@ -61,16 +61,18 @@ class ThreeDimLidDrivenCavityProblem(NavierStokesProblem):
         return box_mesh(self.baseN, self.baseN, self.baseN, 2, 2, 2)
 
     def driver(self, x):
+        # lid at y = 2 (tag 4), regularised profile
+        # (/root/reference/examples/ldc3d/ldc3d.py:24-27)
         xx, yy, zz = x[:, 0], x[:, 1], x[:, 2]
         ux = (xx * xx * (2 - xx) * (2 - xx)
-              * yy * yy * (2 - yy) * (2 - yy) * 0.25 * zz * zz)
+              * zz * zz * (2 - zz) * (2 - zz) * 0.25 * yy * yy)
         z = np.zeros_like(ux)
         return np.stack([ux, z, z], axis=1)
 
     def bcs(self, Z):
         return [
-            DirichletBC(Z.V, self.driver, 6),
-            DirichletBC(Z.V, (0.0, 0.0, 0.0), [1, 2, 3, 4, 5]),
+            DirichletBC(Z.V, self.driver, 4),
+            DirichletBC(Z.V, (0.0, 0.0, 0.0), [1, 2, 3, 5, 6]),
         ]
 
     def has_nullspace(self):

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.bcs import DirichletBC
-from ..mesh import rectangle_mesh
+from ..mesh import box_mesh, rectangle_mesh
 from ..problem import NavierStokesProblem
 
 
@@ -109,3 +109,31 @@ class TwoDimLidDrivenCavityMMSProblem(NavierStokesProblem):
             return f_v, jnp.zeros(xq.shape[0], dtype=xq.dtype)
 
         return rhs_fn
+
+
+class ThreeDimLidDrivenCavityMMSProblem(TwoDimLidDrivenCavityMMSProblem):
+    """3D MMS cavity (/root/reference/examples/mmsldc3d/mmsldc3d.py):
+    the 2D Shih-Tan-Hwang fields extended z-independently with w = 0, on
+    [0,2]^3; lid at y=2 (tag 4), the exact solution vanishes on the other
+    walls."""
+
+    def mesh(self):
+        return box_mesh(self.baseN, self.baseN, self.baseN, 2, 2, 2)
+
+    def u_exact(self, xyz):
+        u2 = _u_unit(0.5 * xyz[:2])
+        return jnp.concatenate([u2, jnp.zeros((1,), dtype=u2.dtype)])
+
+    def p_exact(self, xyz, nu):
+        return _p_unit(0.5 * xyz[:2], 0.5 * nu)
+
+    def bcs(self, Z):
+        u_np = jax.vmap(self.u_exact)
+
+        def lid(x):
+            return np.asarray(u_np(jnp.asarray(x)))
+
+        return [
+            DirichletBC(Z.V, lid, 4),
+            DirichletBC(Z.V, (0.0, 0.0, 0.0), [1, 2, 3, 5, 6]),
+        ]
