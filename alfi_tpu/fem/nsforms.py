@@ -282,12 +282,26 @@ class NSForm:
         """Per-cell inverse DG mass matrices (nc, nloc_q, nloc_q).
 
         Closed-form replacement for the reference's DGMassInv PC
-        (/root/reference/alfi/solver.py:15-38)."""
+        (/root/reference/alfi/solver.py:15-38).  P0 is a scalar
+        reciprocal; higher DG orders invert in pc_dtype (TPU XLA has no
+        f64 LU) and recover f64 with two Newton-Schulz steps."""
+        from ..config import pc_dtype
+
         tq = self.tab_q
         M = jnp.einsum(
             "q,c,ql,qm->clm", tq.w, self.geom.detj, tq.phi, tq.phi
         )
-        return jnp.linalg.inv(M)
+        if tq.nloc == 1:
+            return 1.0 / M
+        dt = pc_dtype()
+        Minv = jnp.linalg.inv(M.astype(dt)).astype(M.dtype)
+        if dt != M.dtype:
+            eye = jnp.eye(tq.nloc, dtype=M.dtype)
+            for _ in range(2):
+                Minv = jnp.einsum(
+                    "clm,cmn->cln", Minv,
+                    2.0 * eye[None] - jnp.einsum("clm,cmn->cln", M, Minv))
+        return Minv
 
     def pressure_integral(self, p):
         tq = self.tab_q

@@ -170,10 +170,12 @@ def dfg2d_mesh(n=40):
     verts[rim, 1] = cy + (verts[rim, 1] - cy) * r / safe
 
     def tagger(m):
-        t = np.zeros(len(m), dtype=np.int64)
+        # default 3 = cylinder: any exterior facet NOT on the channel
+        # rectangle is part of the (polygonal) cylinder rim; interior
+        # facets also get 3 but boundary_facets() intersects with the
+        # exterior set so that is harmless
+        t = np.full(len(m), 3, dtype=np.int64)
         t[(np.abs(m[:, 1]) < eps) | (np.abs(m[:, 1] - 0.41) < eps)] = 2
-        dd = np.sqrt((m[:, 0] - cx) ** 2 + (m[:, 1] - cy) ** 2)
-        t[dd < r + 0.25 * h] = 3
         t[np.abs(m[:, 0]) < eps] = 1
         t[np.abs(m[:, 0] - 2.2) < eps] = 4
         return t

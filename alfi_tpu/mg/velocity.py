@@ -90,10 +90,20 @@ class VelocityMG:
             self.levels.append(MGLevel(V, form, mask_u, rows))
             spaces.append(V)
 
-        self.prolongs = [
-            prolongation(mh, l, spaces[l], spaces[l + 1])
-            for l in range(self.nlevels - 1)
-        ]
+        # P1FB in 3D needs the bubble flux fix as its "standard" transfer
+        # (/root/reference/alfi/transfer.py:334-356); everything else uses
+        # plain nodal point evaluation.
+        use_bubble = (d == 3 and elem.name == "P1FB"
+                      and mh.kind != "bary")
+        if use_bubble:
+            from .bubble import BubbleTransfer as _BT
+
+            self.prolongs = [_BT(mh, l) for l in range(self.nlevels - 1)]
+        else:
+            self.prolongs = [
+                prolongation(mh, l, spaces[l], spaces[l + 1])
+                for l in range(self.nlevels - 1)
+            ]
         self.injects = [
             injection(mh, l, spaces[l + 1], spaces[l])
             for l in range(self.nlevels - 1)
