@@ -69,7 +69,11 @@ class GradDivSolver:
         self.mh = self.problem.mesh_hierarchy(hierarchy, nref)
         self.patch = patch
         self.smoothing = smoothing
-        self.restriction = False
+        # the graddiv harness uses the Schoeberl ADJOINT restriction so
+        # the GMG preconditioner is symmetric — required for the CG outer
+        # (/root/reference/examples/graddiv/graddiv.py:158 wires
+        # vtransfer.restrict, unlike the NS solver's default)
+        self.restriction = True
         fine = self.mh[-1]
         d = fine.dim
         self.d = d

@@ -34,8 +34,11 @@ def _sorted_rows(a):
 
 
 def _row_unique_inverse(rows):
-    """Unique rows + inverse map, via lexsort (rows must be sorted per-row)."""
-    uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+    """Unique rows + inverse map (rows must be sorted per-row); uses the
+    native C++ dedup when available (alfi_tpu/native/topology.cpp)."""
+    from ..native import sorted_row_dedup
+
+    uniq, inverse = sorted_row_dedup(rows)
     return uniq, inverse.astype(index_dtype)
 
 

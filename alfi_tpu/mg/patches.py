@@ -121,7 +121,11 @@ def _rowwise_member_index(sorted_rows, queries, dump):
 def star_patches(space, mask_flat, seed_vertices=None):
     """Vertex-star patches (PCPatch construct_type star, dim 0)."""
     sdofs, _, pcells, _ = star_patch_dofs(space, seed_vertices)
-    return PatchSet(space, mask_flat, sdofs, pcells)
+    ps = PatchSet(space, mask_flat, sdofs, pcells)
+    seeds = (seed_vertices if seed_vertices is not None
+             else np.arange(space.mesh.num_vertices))
+    ps.seed_points = space.mesh.vertices[seeds]
+    return ps
 
 
 def macrostar_patches(space, mask_flat):
@@ -149,7 +153,9 @@ def macrostar_patches(space, mask_flat):
     cells = np.where(padj[:, :, None] >= 0,
                      padj[:, :, None] * (d + 1) + np.arange(d + 1),
                      -1).reshape(len(macro), -1)
-    return PatchSet(space, mask_flat, sdofs, cells)
+    ps = PatchSet(space, mask_flat, sdofs, cells)
+    ps.seed_points = mesh.vertices[macro]
+    return ps
 
 
 def cell_patches(space, mask_flat, patch_cells):
@@ -239,6 +245,90 @@ def _merge_scalar_dofs(sdofs, sizes, extra):
     m = int(sizes.max())
     out = np.where(valid, merged, -1)[:, :m]
     return out, sizes
+
+
+def direction_order(points, spec):
+    """Lexicographic sweep order from a relaxation-direction spec like
+    "0+:1-" (/root/reference/alfi/relaxation.py:88-108): sort by axis 0
+    ascending, then axis 1 descending."""
+    keys = []
+    for part in spec.split(":"):
+        axis = int(part[:-1])
+        sgn = 1.0 if part[-1] == "+" else -1.0
+        keys.append(sgn * points[:, axis])
+    return np.lexsort(tuple(reversed(keys)))
+
+
+def color_patchset(patchset, direction=None):
+    """Conflict-free coloring of a PatchSet (shared-dof graph), visited
+    in the sweep direction so colors respect the downstream ordering.
+    Returns (colors (np,), ncolors)."""
+    from ..native import greedy_color
+
+    dofs = patchset.dofs
+    active = patchset.active
+    counts = active.sum(axis=1)
+    csr_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    csr_vals = dofs[active].astype(np.int64)
+    order = None
+    if direction is not None and getattr(patchset, "seed_points",
+                                         None) is not None:
+        order = direction_order(patchset.seed_points, direction)
+    return greedy_color(csr_off, csr_vals, patchset.nflat, order=order)
+
+
+def build_multiplicative_solver(patchset, direction=None,
+                                symmetrise=True):
+    """Ordered multiplicative patch sweep as a sequence of conflict-free
+    additive sub-sweeps (one per color) with residual updates in between
+    — the TPU formulation of PCPatch's multiplicative + symmetrise_sweep
+    (/root/reference/alfi/solver.py:321-328).
+
+    Returns (factor, apply) where apply(lufac, b_flat, Aop_flat) performs
+    the full (symmetrised) sweep from a zero initial guess."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import pc_dtype
+
+    colors, ncolors = color_patchset(patchset, direction)
+    factor, _ = build_patch_solver(patchset)
+    dt = pc_dtype()
+    m = patchset.m
+    # contiguous color blocks
+    order = np.argsort(colors, kind="stable")
+    bounds = np.searchsorted(colors[order], np.arange(ncolors + 1))
+    dofs_c = [jnp.asarray(patchset.dofs[order[bounds[c]:bounds[c + 1]]])
+              for c in range(ncolors)]
+    act_c = [jnp.asarray(patchset.active[order[bounds[c]:bounds[c + 1]]])
+             for c in range(ncolors)]
+    order_j = np.asarray(order)
+
+    def apply(lufac, b_flat, Aop):
+        lu, piv = lufac
+        lu_o, piv_o = lu[order_j], piv[order_j]
+
+        def color_solve(c, r_flat):
+            rpad = jnp.concatenate(
+                [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
+            rp = rpad[dofs_c[c]].astype(dt)
+            sl = slice(int(bounds[c]), int(bounds[c + 1]))
+            xp = jax.scipy.linalg.lu_solve(
+                (lu_o[sl], piv_o[sl]), rp[..., None])[..., 0]
+            xp = jnp.where(act_c[c], xp, 0.0).astype(r_flat.dtype)
+            out = jnp.zeros((patchset.nflat + 1,), dtype=r_flat.dtype)
+            return out.at[dofs_c[c]].add(xp)[:-1]
+
+        x = jnp.zeros_like(b_flat)
+        seq = list(range(ncolors))
+        if symmetrise:
+            seq = seq + seq[::-1]
+        for i, c in enumerate(seq):
+            r = b_flat if i == 0 else b_flat - Aop(x)
+            x = x + color_solve(c, r)
+        return x
+
+    return factor, apply
 
 
 def build_patch_solver(patchset):

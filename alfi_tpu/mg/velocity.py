@@ -108,6 +108,9 @@ class VelocityMG:
             injection(mh, l, spaces[l + 1], spaces[l])
             for l in range(self.nlevels - 1)
         ]
+        self.patch_composition = getattr(solver, "patch_composition",
+                                         "additive")
+        direction = problem.relaxation_direction()
         self.patch_solvers = []
         for l in range(1, self.nlevels):
             lev = self.levels[l]
@@ -115,7 +118,13 @@ class VelocityMG:
                 ps = macrostar_patches(lev.V, np.asarray(lev.mask_flat))
             else:
                 ps = star_patches(lev.V, np.asarray(lev.mask_flat))
-            self.patch_solvers.append(build_patch_solver(ps))
+            if self.patch_composition == "multiplicative":
+                from .patches import build_multiplicative_solver
+
+                self.patch_solvers.append(
+                    build_multiplicative_solver(ps, direction=direction))
+            else:
+                self.patch_solvers.append(build_patch_solver(ps))
 
         self.schoeberl = None
         if transfer_mode == "schoeberl":
@@ -194,6 +203,20 @@ class VelocityMG:
         if self.smoother == "patch":
             lufac = state["patch_lufacs"][l - 1]
             _, papply = self.patch_solvers[l - 1]
+            if self.patch_composition == "multiplicative":
+                tensors = state["tensors"][l]
+
+                def Aop_flat(xf):
+                    return self.level_apply(
+                        l, tensors, xf.reshape(-1, self.d)).reshape(-1)
+
+                def pc(r):
+                    x = papply(lufac, (lev.mask_u * r).reshape(-1),
+                               Aop_flat)
+                    x = x.reshape(-1, self.d) * lev.mask_u
+                    return x + (1.0 - lev.mask_u) * r
+
+                return pc
 
             def pc(r):
                 x = papply(lufac, (lev.mask_u * r).reshape(-1))
