@@ -124,10 +124,15 @@ def run_solver(solver, res, args):
                 np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]))
         if args.paraview:
             os.makedirs(outdir, exist_ok=True)
-            from .utils.vtk import write_vtu
+            from .utils.vtk import write_velocity_vtu, write_vtu
 
             write_vtu(outdir + "velocity-Re-%s.vtu" % re, solver.mesh,
                       solver.Z, solver.z)
+            if getattr(solver, "nref_vis", 0):
+                uvis, vmesh, _ = solver.visprolong(solver.z[0])
+                write_velocity_vtu(
+                    outdir + "velocity-refined-Re-%s.vtu" % re, vmesh,
+                    uvis)
     for re in results:
         print(results[re])
     if args.time:

@@ -289,12 +289,11 @@ def build_multiplicative_solver(patchset, direction=None,
     import jax
     import jax.numpy as jnp
 
-    from ..config import pc_dtype
+    from ..solvers.batched_lu import get_factorization
 
+    fs = get_factorization()
     colors, ncolors = color_patchset(patchset, direction)
     factor, _ = build_patch_solver(patchset)
-    dt = pc_dtype()
-    m = patchset.m
     # contiguous color blocks
     order = np.argsort(colors, kind="stable")
     bounds = np.searchsorted(colors[order], np.arange(ncolors + 1))
@@ -305,17 +304,15 @@ def build_multiplicative_solver(patchset, direction=None,
     order_j = np.asarray(order)
 
     def apply(lufac, b_flat, Aop):
-        lu, piv = lufac
-        lu_o, piv_o = lu[order_j], piv[order_j]
+        fac_o = jax.tree.map(lambda a: a[order_j], lufac)
 
         def color_solve(c, r_flat):
             rpad = jnp.concatenate(
                 [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
-            rp = rpad[dofs_c[c]].astype(dt)
+            rp = rpad[dofs_c[c]]
             sl = slice(int(bounds[c]), int(bounds[c + 1]))
-            xp = jax.scipy.linalg.lu_solve(
-                (lu_o[sl], piv_o[sl]), rp[..., None])[..., 0]
-            xp = jnp.where(act_c[c], xp, 0.0).astype(r_flat.dtype)
+            xp = fs.solve(jax.tree.map(lambda a: a[sl], fac_o), rp)
+            xp = jnp.where(act_c[c], xp, 0.0)
             out = jnp.zeros((patchset.nflat + 1,), dtype=r_flat.dtype)
             return out.at[dofs_c[c]].add(xp)[:-1]
 
@@ -340,9 +337,9 @@ def build_patch_solver(patchset):
     import jax
     import jax.numpy as jnp
 
-    from ..config import pc_dtype
+    from ..solvers.batched_lu import get_factorization
 
-    dt = pc_dtype()
+    fs = get_factorization()
     m = patchset.m
     cells = jnp.asarray(patchset.cells)
     l2p = jnp.asarray(patchset.l2p.astype(np.int32))
@@ -357,23 +354,22 @@ def build_patch_solver(patchset):
 
         def one(cells_p, l2p_p, active_p):
             T = Tpad[cells_p]  # (mc, nld, nld)
-            A = jnp.zeros((m + 1, m + 1), dtype=dt)
-            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(
-                T.astype(dt))
+            A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
+            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
             A = A[:m, :m]
             # unit diagonal on padding slots keeps the LU well-posed
-            A = A + jnp.diag(jnp.where(active_p, 0.0, 1.0).astype(dt))
+            A = A + jnp.diag(jnp.where(active_p, 0.0, 1.0).astype(A.dtype))
             return A
 
         Ap = jax.vmap(one)(cells, l2p, active)
-        return jax.scipy.linalg.lu_factor(Ap)
+        return fs.factor(Ap)
 
     def apply(lufac, r_flat):
         rpad = jnp.concatenate(
             [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
-        rp = rpad[dofs].astype(dt)  # (np, m)
-        xp = jax.scipy.linalg.lu_solve(lufac, rp[..., None])[..., 0]
-        xp = jnp.where(active, xp, 0.0).astype(r_flat.dtype)
+        rp = rpad[dofs]  # (np, m)
+        xp = fs.solve(lufac, rp)
+        xp = jnp.where(active, xp, 0.0)
         out = jnp.zeros((patchset.nflat + 1,), dtype=r_flat.dtype)
         return out.at[dofs].add(xp)[:-1]
 

@@ -167,12 +167,12 @@ class VelocityMG:
                 self._assemble_diag(l, tensors[l])
                 for l in range(1, self.nlevels)
             ]
-        from ..config import pc_dtype
+        from ..solvers.batched_lu import get_factorization
 
         lev0 = self.levels[0]
         A0 = assemble_dense_velocity(lev0.form, winds[0], params,
                                      lev0.mask_u)
-        coarse_lu = jax.scipy.linalg.lu_factor(A0.astype(pc_dtype()))
+        coarse_lu = get_factorization().factor(A0)
         state = {
             "tensors": tensors,
             "patch_lufacs": patch_lufacs,
@@ -248,12 +248,10 @@ class VelocityMG:
 
     # ------------------------------------------------------------------
     def _coarse_solve(self, state, r):
-        from ..config import pc_dtype
+        from ..solvers.batched_lu import get_factorization
 
         lev0 = self.levels[0]
-        x = jax.scipy.linalg.lu_solve(
-            state["coarse_lu"], r.reshape(-1).astype(pc_dtype())
-        ).astype(r.dtype)
+        x = get_factorization().solve(state["coarse_lu"], r.reshape(-1))
         return (x.reshape(-1, self.d) * lev0.mask_u
                 + (1.0 - lev0.mask_u) * r)
 

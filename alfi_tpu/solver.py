@@ -132,6 +132,40 @@ class NavierStokesSolver:
         self._setup_stabilisation()
         self._tolerances()
         self._build_step_functions()
+        self._setup_visprolong(nref_vis)
+
+    def _setup_visprolong(self, nref_vis):
+        """Visualisation-refinement hook (the reference's visprolong,
+        /root/reference/alfi/solver.py:135-162): prolong the velocity to
+        ``nref_vis`` extra uniform refinements for output."""
+        self.nref_vis = nref_vis
+        if not nref_vis:
+            self.visprolong = lambda u: (u, self.mesh, self.Z.V)
+            return
+        from .fem import VectorFunctionSpace
+        from .mesh.hierarchy import MeshHierarchy
+        from .mesh.refine import refine_uniform
+        from .mg.transfer import prolongation
+
+        meshes = [self.mesh]
+        for _ in range(nref_vis):
+            meshes.append(refine_uniform(meshes[-1]))
+        vh = MeshHierarchy(meshes, "uniform")
+        elem = self.Z.V.element
+        spaces = [self.Z.V] + [
+            VectorFunctionSpace(m, elem) for m in meshes[1:]
+        ]
+        transfers = [
+            prolongation(vh, l, spaces[l], spaces[l + 1])
+            for l in range(nref_vis)
+        ]
+
+        def visprolong(u):
+            for t in transfers:
+                u = t.apply(u)
+            return (u, meshes[-1], spaces[-1])
+
+        self.visprolong = visprolong
 
     # ------------------------------------------------------------------
     # subclass hooks
@@ -149,7 +183,8 @@ class NavierStokesSolver:
 
         self.stabilisation = make_stabilisation(
             self.form, self.stabilisation_type, self.supg_method,
-            self.supg_magic, self.stabilisation_weight, self.bcset)
+            self.supg_magic, self.stabilisation_weight, self.bcset,
+            char_LU=self.char_L * self.char_U)
         self.form.stabilisation = self.stabilisation.residual_hook
 
     # ------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Batched dense LU with partial pivoting in pure elementwise JAX ops.
+
+TPU XLA implements its LuDecomposition expansion only for f32, but the AL
+patch/coarse operators have condition ~ gamma/nu * h^-2 (1e7+ at the
+default gamma=1e4), far beyond f32 factorisation accuracy — the patch
+smoother silently collapses (observed: Newton divergence at Re=100 on
+v5e).  This module provides the f64 path: factorisation and triangular
+solves built from adds/multiplies/gathers only, which XLA supports in
+(emulated) f64 on TPU.  Shapes: A (..., m, m); everything vmaps/batches
+over the leading axes.  Pivoting is partial (row) pivoting, matching
+LAPACK getrf behaviour for our use.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def lu_factor_batched(A):
+    """Returns (LU (..., m, m), perm (..., m)) with L unit-lower in the
+    strictly-lower triangle and U upper; perm maps solve rhs rows."""
+    m = A.shape[-1]
+    batch = A.shape[:-2]
+    perm0 = jnp.broadcast_to(jnp.arange(m), batch + (m,))
+    rows = jnp.arange(m)
+
+    def step(k, state):
+        LU, perm = state
+        col = jnp.abs(LU[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        # row swap k <-> p via a gather permutation
+        idx = jnp.broadcast_to(rows, batch + (m,))
+        pk = p[..., None]
+        idx = jnp.where(idx == k, pk, jnp.where(idx == pk, k, idx))
+        LU = jnp.take_along_axis(LU, idx[..., None], axis=-2)
+        perm = jnp.take_along_axis(perm, idx, axis=-1)
+        # eliminate below the pivot
+        pivval = LU[..., k, k]
+        safe = jnp.where(pivval == 0.0, 1.0, pivval)
+        fac = LU[..., :, k] / safe[..., None]
+        below = rows > k
+        upd = jnp.where(below, fac, 0.0)[..., :, None] * LU[..., k, None, :]
+        LU = LU - upd
+        LU = jnp.where(
+            (below[:, None] & (rows == k)[None, :]),
+            jnp.broadcast_to(fac[..., :, None], LU.shape), LU)
+        return LU, perm
+
+    LU, perm = lax.fori_loop(0, m, step, (A, perm0))
+    return LU, perm
+
+
+def lu_solve_batched(lu_perm, b):
+    """Solve A x = b given lu_factor_batched output; b (..., m)."""
+    LU, perm = lu_perm
+    m = LU.shape[-1]
+    rows = jnp.arange(m)
+    y = jnp.take_along_axis(b, perm, axis=-1)
+
+    def fwd(k, y):
+        # y_k -= sum_{j<k} L[k, j] y_j
+        Lrow = jnp.where(rows < k, LU[..., k, :], 0.0)
+        s = jnp.sum(Lrow * y, axis=-1)
+        return y.at[..., k].add(-s)
+
+    y = lax.fori_loop(0, m, fwd, y)
+
+    def bwd(i, x):
+        k = m - 1 - i
+        Urow = jnp.where(rows > k, LU[..., k, :], 0.0)
+        s = jnp.sum(Urow * x, axis=-1)
+        diag = LU[..., k, k]
+        safe = jnp.where(diag == 0.0, 1.0, diag)
+        return x.at[..., k].set((x[..., k] - s) / safe)
+
+    x = lax.fori_loop(0, m, bwd, y)
+    return x
+
+
+def has_native_f64_lu():
+    """True when jax.scipy.linalg.lu_factor works in f64 on the default
+    backend (CPU yes; TPU no)."""
+    return jax.default_backend() == "cpu"
+
+
+class _ScipyFactorization:
+    """Native XLA LU in a fixed dtype (f64 on CPU, optionally f32 on
+    accelerators for speed-over-accuracy experiments)."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def factor(self, A):
+        return jax.scipy.linalg.lu_factor(A.astype(self.dtype))
+
+    def solve(self, fac, b):
+        x = jax.scipy.linalg.lu_solve(fac, b.astype(self.dtype)[..., None])
+        return x[..., 0].astype(b.dtype)
+
+
+class _QRFactorization:
+    """Batched QR solve — the f64 path on TPU, where XLA implements Qr /
+    TriangularSolve (but not LuDecomposition) in f64.  ~2x the flops of
+    LU but native-speed and unconditionally stable for the nonsymmetric
+    advective patch operators."""
+
+    def factor(self, A):
+        Q, R = jnp.linalg.qr(A)
+        return Q, R
+
+    def solve(self, fac, b):
+        Q, R = fac
+        y = jnp.einsum("...ji,...j->...i", Q, b)
+        x = jax.scipy.linalg.solve_triangular(R, y[..., None],
+                                              lower=False)
+        return x[..., 0]
+
+
+class _CustomF64Factorization:
+    """Elementwise-ops LU fallback (slowest, works anywhere)."""
+
+    def factor(self, A):
+        return lu_factor_batched(A)
+
+    def solve(self, fac, b):
+        return lu_solve_batched(fac, b)
+
+
+_fs = None
+
+
+def get_factorization():
+    """Platform-appropriate batched dense factorisation for the
+    ill-conditioned AL operators: native f64 LU on CPU; the custom
+    elementwise f64 LU on TPU (override with ALFI_TPU_PATCH_DTYPE=f32 to
+    trade accuracy for speed)."""
+    global _fs
+    if _fs is None:
+        import os
+
+        env = os.environ.get("ALFI_TPU_PATCH_DTYPE")
+        if env == "f32":
+            _fs = _ScipyFactorization(jnp.float32)
+        elif env == "lu64":
+            _fs = _CustomF64Factorization()
+        elif has_native_f64_lu():
+            from ..config import real_dtype
+
+            _fs = _ScipyFactorization(real_dtype)
+        else:
+            _fs = _QRFactorization()
+    return _fs

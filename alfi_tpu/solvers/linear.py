@@ -99,38 +99,36 @@ def assemble_dense_velocity(form, wind, params, mask_u):
 
 
 def lu_solve_closure(A):
-    """Factor once (in pc_dtype — TPU XLA only implements LU in f32),
-    return x -> approx A^{-1} x on flat vectors."""
-    from ..config import pc_dtype
+    """Factor once with the platform factorisation (native f64 LU on
+    CPU, batched f64 QR on TPU), return x -> A^{-1} x on flat vectors."""
+    from .batched_lu import get_factorization
 
-    dt = pc_dtype()
-    lu, piv = jax.scipy.linalg.lu_factor(A.astype(dt))
+    fs = get_factorization()
+    fac = fs.factor(A)
 
     def solve(b):
-        return jax.scipy.linalg.lu_solve((lu, piv), b.astype(dt)).astype(
-            b.dtype)
+        return fs.solve(fac, b)
 
     return solve
 
 
 def refined_lu_solve_closure(A, rtol=1e-12, maxit=40):
-    """Mixed-precision direct solve: f32 (pc_dtype) factorisation + f64
-    iterative refinement — the TPU-native equivalent of MUMPS' full-
-    precision LU (/root/reference/alfi/solver.py:396-403).  Converges to
-    f64 accuracy as long as cond(A) stays within f32 range; the refinement
-    loop is a jittable lax.while_loop."""
+    """Full-accuracy direct solve (the MUMPS analogue,
+    /root/reference/alfi/solver.py:396-403).  With an f64-capable
+    factorisation this is a plain factor+solve; when the factorisation is
+    forced to f32 (ALFI_TPU_PATCH_DTYPE=f32) f64 accuracy is recovered by
+    jittable iterative refinement."""
     from jax import lax
 
-    from ..config import pc_dtype
+    from .batched_lu import get_factorization
 
-    dt = pc_dtype()
-    lu, piv = jax.scipy.linalg.lu_factor(A.astype(dt))
+    fs = get_factorization()
+    fac = fs.factor(A)
 
     def base(b):
-        return jax.scipy.linalg.lu_solve((lu, piv), b.astype(dt)).astype(
-            b.dtype)
+        return fs.solve(fac, b)
 
-    if A.dtype == dt:
+    if getattr(fs, "dtype", A.dtype) == A.dtype:
         return base
 
     def solve(b):

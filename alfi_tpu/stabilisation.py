@@ -122,6 +122,41 @@ class ShakibSUPG:
         return Rv, Rq
 
 
+class TurekSUPG(ShakibSUPG):
+    """Turek's SUPG coefficient (/root/reference/alfi/stabilisation.py:100-136):
+    Re_tau = cell_avg(|u|) h Re;  beta = magic h 2 Re_tau / (w_avg (1+Re_tau))
+    with w_avg = (1/|Omega|) \\int |wind| dx (the FROZEN wind, updated per
+    solve in the reference's update())."""
+
+    def __init__(self, form, mode, char_LU=1.0, magic=1.0, weight=None):
+        super().__init__(form, mode, magic=magic, weight=weight)
+        self.char_LU = char_LU
+        tv = form.tab_v
+        self._wdet = tv.w[None, :] * form.geom.detj[:, None]
+        self._domain_measure = float(form.area())
+
+    def _beta(self, u_q, params):
+        form = self.form
+        nu = params["nu"]
+        Re = self.char_LU / nu
+        wind = params["wind"]
+        w_loc = wind[jnp.asarray(form.V.cell_dofs)]
+        w_qq = jnp.einsum("ql,cld->cqd", form.tab_v.phi, w_loc)
+        w_avg = jnp.einsum(
+            "cq,cq->", self._wdet,
+            jnp.sqrt(jnp.einsum("cqd,cqd->cq", w_qq, w_qq))
+        ) / self._domain_measure
+        # cell average of |u| (live state)
+        unorm = jnp.sqrt(jnp.einsum("cqd,cqd->cq", u_q, u_q))
+        cellavg = (jnp.einsum("cq,cq->c", self._wdet, unorm)
+                   / (self._wdet.sum(axis=1)))
+        h = self.h
+        re_tau = cellavg * h * Re
+        beta = self.magic * h * 2.0 * re_tau / (w_avg * (1.0 + re_tau)
+                                                + 1e-300)
+        return beta[:, None] * jnp.ones_like(unorm)
+
+
 class BurmanStabilisation:
     """Interior-penalty jump stabilisation
     (/root/reference/alfi/stabilisation.py:139-162)."""
@@ -181,12 +216,16 @@ class StabilisationWrapper:
         pass
 
 
-def make_stabilisation(form, kind, supg_method, supg_magic, weight, bcset):
+def make_stabilisation(form, kind, supg_method, supg_magic, weight, bcset,
+                       char_LU=1.0):
     if kind in ("supg", "gls"):
-        if supg_method != "shakib":
-            raise NotImplementedError(
-                f"supg_method {supg_method!r} (only shakib for now)")
-        impl = ShakibSUPG(form, kind, magic=supg_magic, weight=weight)
+        if supg_method == "shakib":
+            impl = ShakibSUPG(form, kind, magic=supg_magic, weight=weight)
+        elif supg_method == "turek":
+            impl = TurekSUPG(form, kind, char_LU=char_LU,
+                             magic=supg_magic, weight=weight)
+        else:
+            raise NotImplementedError(f"supg_method {supg_method!r}")
     elif kind == "burman":
         impl = BurmanStabilisation(form, weight=weight)
     else:

@@ -2,8 +2,8 @@
 
 Replaces the reference's ParaView output path
 (/root/reference/alfi/driver.py:106-107,121-122): writes the P1 part of
-the velocity/pressure fields on the simplicial mesh as ASCII XML
-UnstructuredGrid, loadable by ParaView."""
+the velocity field and the cellwise pressure on the simplicial mesh as
+ASCII XML UnstructuredGrid, loadable by ParaView."""
 
 from __future__ import annotations
 
@@ -14,18 +14,25 @@ _VTK_CELL = {2: 5, 3: 10}  # triangle, tet
 
 def write_vtu(path, mesh, Z, z):
     u = np.asarray(z[0])
-    p = np.asarray(z[1])
+    p = np.asarray(z[1])[Z.Q.cell_dofs[:, 0]]
+    _write(path, mesh, u, p)
+
+
+def write_velocity_vtu(path, mesh, u):
+    """Velocity-only file (for visprolong-refined fields)."""
+    _write(path, mesh, np.asarray(u), np.zeros(mesh.num_cells))
+
+
+def _write(path, mesh, u, pc):
     d = mesh.dim
     nv = mesh.num_vertices
-    # vertex dofs of the velocity space are ordered first (spaces.py layout)
+    # vertex dofs of the velocity space are ordered first (spaces.py)
     uvert = u[:nv]
     if d == 2:
         uvert = np.concatenate([uvert, np.zeros((nv, 1))], axis=1)
     pts = mesh.vertices
     if d == 2:
         pts = np.concatenate([pts, np.zeros((nv, 1))], axis=1)
-    # cellwise pressure (first dof per cell for DG spaces)
-    pc = p[Z.Q.cell_dofs[:, 0]]
     cells = mesh.cells
     nc = mesh.num_cells
     with open(path, "w") as f:

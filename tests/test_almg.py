@@ -53,6 +53,18 @@ def test_almg_matches_lu():
     assert float(jnp.max(jnp.abs(z1[0] - z2[0]))) < 1e-6
 
 
+def test_almg_multiplicative_sweep():
+    """Ordered multiplicative patch composition (colored sub-sweeps) must
+    converge at least as fast as additive."""
+    problem = TwoDimLidDrivenCavityProblem(4)
+    s = ConstantPressureSolver(
+        problem, nref=1, k=2, solver_type="almg", hierarchy="uniform",
+        gamma=1e4, patch_composition="multiplicative", verbose=False)
+    z, info = s.solve(100)
+    assert info["converged"]
+    assert info["linear_iter"] / max(1, info["nonlinear_iter"]) <= 10
+
+
 def test_almg_sv_bary_macro():
     """Scott-Vogelius + bary hierarchy + macrostar patches (the second
     flagship configuration)."""
