@@ -52,3 +52,24 @@ def pc_dtype():
 def set_pc_dtype(dtype):
     global _pc_dtype
     _pc_dtype = dtype
+
+
+_use_woodbury = None
+
+
+def use_woodbury():
+    """gamma-split (Woodbury) patch/coarse solves: f32 factorisations
+    whose conditioning is independent of gamma (docs/DESIGN.md).
+    Currently OPT-IN (ALFI_TPU_WOODBURY=1): exact vs the direct path at
+    moderate Reynolds but the f32 M-solves lose smoother quality as nu
+    drops (Re>=500 on the cavity); the default TPU path is the native
+    batched f64 QR factorisation instead."""
+    global _use_woodbury
+    if _use_woodbury is None:
+        _use_woodbury = os.environ.get("ALFI_TPU_WOODBURY") == "1"
+    return _use_woodbury
+
+
+def set_use_woodbury(v):
+    global _use_woodbury
+    _use_woodbury = v

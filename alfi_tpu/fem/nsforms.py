@@ -243,6 +243,49 @@ class NSForm:
         return jax.vmap(cell_jac)(u_loc, p_loc, jinv, detj, vol, xq)
 
     # ------------------------------------------------------------------
+    # gamma-split structure: per-cell factors of the grad-div term
+    # ------------------------------------------------------------------
+    def graddiv_factors(self):
+        """Static per-cell low-rank factors Bt (nc, nloc_v*d, q) with
+
+            G_cell = Bt @ Bt.T  =  unit-gamma grad-div element matrix.
+
+        cell_avg mode: q = 1 (one rank-1 term per cell); exact mode:
+        q = #points of a minimal degree-2(k-1) rule.  This is the key to
+        f32-stable patch/coarse solves on TPU: A = M + gamma Bt Bt^T is
+        factorised by Woodbury with gamma entering only as 1/gamma, so
+        the factorisation conditioning is INDEPENDENT of gamma (the
+        direct LU of A is singular to f32 at the default gamma=1e4)."""
+        if getattr(self, "_gd_factors", None) is not None:
+            return self._gd_factors
+        d = self.dim
+        nl = self.tab_v.nloc
+        # always concrete, even when first called inside a jit trace
+        # (the cache must never hold tracers)
+        with jax.ensure_compile_time_eval():
+            jinv, detj, vol = self._geom_args()
+            if self.graddiv_mode == "cell_avg":
+                tv = self.tab_v
+                wdet = tv.w[None, :] * detj[:, None]
+                gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
+                g = jnp.einsum("cq,cqld->cld", wdet, gtest)
+                B = (g / jnp.sqrt(vol)[:, None, None]).reshape(
+                    -1, nl * d, 1)
+            else:
+                deg = max(2 * (self.V.element.degree - 1), 0)
+                pts, wts = simplex_quadrature(d, deg)
+                gphi = jnp.asarray(self.V.element.tabulate_grad(pts),
+                                   dtype=real_dtype)
+                w = jnp.asarray(wts, dtype=real_dtype)
+                gtest = jnp.einsum("qle,cej->cqlj", gphi, jinv)
+                # div of basis (l, i) at point q is gtest[q, l, i]
+                sq = jnp.sqrt(w[None, :] * detj[:, None])  # (nc, nq)
+                B = jnp.einsum("cqld,cq->cldq", gtest, sq).reshape(
+                    -1, nl * d, len(wts))
+        self._gd_factors = B
+        return B
+
+    # ------------------------------------------------------------------
     # off-diagonal blocks (for the Schur fieldsplit preconditioner,
     # /root/reference/alfi/solver.py:405-421)
     # ------------------------------------------------------------------

@@ -328,49 +328,145 @@ def build_multiplicative_solver(patchset, direction=None,
     return factor, apply
 
 
+def assemble_patch_matrices(patchset, tensors):
+    """(np, m, m) patch operators summed from per-cell element tensors
+    (unit diagonal on padding slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = patchset.m
+    cells = jnp.asarray(patchset.cells)
+    l2p = jnp.asarray(patchset.l2p.astype(np.int32))
+    active = jnp.asarray(patchset.active)
+    Tpad = jnp.concatenate(
+        [tensors,
+         jnp.zeros((1,) + tensors.shape[1:], dtype=tensors.dtype)],
+        axis=0)
+
+    def one(cells_p, l2p_p, active_p):
+        T = Tpad[cells_p]  # (mc, nld, nld)
+        A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
+        A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
+        A = A[:m, :m]
+        return A + jnp.diag(jnp.where(active_p, 0.0, 1.0).astype(A.dtype))
+
+    return jax.vmap(one)(cells, l2p, active)
+
+
+def _gather_scatter(patchset):
+    import jax.numpy as jnp
+
+    dofs = jnp.asarray(patchset.dofs)
+    active = jnp.asarray(patchset.active)
+
+    def gather(r_flat):
+        rpad = jnp.concatenate(
+            [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
+        return rpad[dofs]
+
+    def scatter(xp, dtype):
+        import jax.numpy as jnp
+
+        xp = jnp.where(active, xp, 0.0).astype(dtype)
+        out = jnp.zeros((patchset.nflat + 1,), dtype=dtype)
+        return out.at[dofs].add(xp)[:-1]
+
+    return gather, scatter
+
+
 def build_patch_solver(patchset):
     """Device closures over a PatchSet:
 
-    factor(tensors (nc, nld, nld)) -> batched LU of all patch matrices
-    apply(lufac, r_flat (ndft,))   -> additive-Schwarz application
+    factor(tensors (nc, nld, nld)) -> batched factorisation of all patch
+                                      matrices (platform-appropriate)
+    apply(fac, r_flat (ndft,))     -> additive-Schwarz application
+    """
+    from ..solvers.batched_lu import get_factorization
+
+    fs = get_factorization()
+    gather, scatter = _gather_scatter(patchset)
+
+    def factor(tensors):
+        return fs.factor(assemble_patch_matrices(patchset, tensors))
+
+    def apply(lufac, r_flat):
+        xp = fs.solve(lufac, gather(r_flat))
+        return scatter(xp, r_flat.dtype)
+
+    return factor, apply
+
+
+def woodbury_effective_gamma(gamma, S, safety=0.03, eps32=1.2e-7):
+    """Clamp gamma so the capacitance lambda_min = 1/gamma stays above
+    the f32 round-off floor of |S| = |B^T M^-1 B| — adaptive (scale-
+    aware), so well-scaled operators keep the exact gamma far beyond any
+    fixed cap while badly-scaled ones degrade gracefully instead of
+    producing a singular C."""
+    import jax.numpy as jnp
+
+    snorm = jnp.max(jnp.abs(S))
+    cap = safety / (eps32 * (snorm + 1e-30))
+    return jnp.minimum(gamma.astype(S.dtype), cap.astype(S.dtype))
+
+
+def build_patch_solver_woodbury(patchset, Bt_cells):
+    """gamma-split patch solver, entirely in f32 (the TPU fast path).
+
+    The AL patch operator A = M + gamma B B^T (M = viscous+advection,
+    B = static grad-div factors) is singular to f32 round-off at the
+    default gamma=1e4, so direct f32 factorisation fails (NaNs at
+    Re>=100 on v5e).  Woodbury moves gamma into a 1/gamma*I shift:
+
+        A^-1 = M^-1 - (M^-1 B) (I/gamma + B^T M^-1 B)^-1 B^T M^-1
+
+    where every factor is gamma-independently conditioned — native f32
+    batched LU + MXU matmuls, no f64 emulation in the hot loop.
+
+    factor(tensors_M (nc,nld,nld), gamma) -> (Mlu, Clu, Y, B)
+    apply(fac, r_flat) -> additive application
     """
     import jax
     import jax.numpy as jnp
 
-    from ..solvers.batched_lu import get_factorization
-
-    fs = get_factorization()
+    dt = jnp.float32
     m = patchset.m
+    np_, mc = patchset.cells.shape
+    q = Bt_cells.shape[-1]
+    r = mc * q
     cells = jnp.asarray(patchset.cells)
     l2p = jnp.asarray(patchset.l2p.astype(np.int32))
-    dofs = jnp.asarray(patchset.dofs)
-    active = jnp.asarray(patchset.active)
+    gather, scatter = _gather_scatter(patchset)
 
-    def factor(tensors):
-        Tpad = jnp.concatenate(
-            [tensors,
-             jnp.zeros((1,) + tensors.shape[1:], dtype=tensors.dtype)],
-            axis=0)
+    # one-time static patch factors Bp (np, m, r)
+    Btpad = jnp.concatenate(
+        [Bt_cells, jnp.zeros((1,) + Bt_cells.shape[1:],
+                             dtype=Bt_cells.dtype)], axis=0)
+    Bc = Btpad[cells]  # (np, mc, nld, q)
 
-        def one(cells_p, l2p_p, active_p):
-            T = Tpad[cells_p]  # (mc, nld, nld)
-            A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
-            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
-            A = A[:m, :m]
-            # unit diagonal on padding slots keeps the LU well-posed
-            A = A + jnp.diag(jnp.where(active_p, 0.0, 1.0).astype(A.dtype))
-            return A
+    def onep(l2p_p, Bc_p):
+        # Bp[l2p_p[j, l], j, :] += Bc_p[j, l, :]
+        Z = jnp.zeros((m + 1, mc, q), dtype=Bc_p.dtype)
+        j_idx = jnp.broadcast_to(jnp.arange(mc)[:, None], l2p_p.shape)
+        return Z.at[l2p_p, j_idx].add(Bc_p)
 
-        Ap = jax.vmap(one)(cells, l2p, active)
-        return fs.factor(Ap)
+    Bp = jax.vmap(onep)(l2p, Bc)[:, :m].reshape(np_, m, r).astype(dt)
 
-    def apply(lufac, r_flat):
-        rpad = jnp.concatenate(
-            [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
-        rp = rpad[dofs]  # (np, m)
-        xp = fs.solve(lufac, rp)
-        xp = jnp.where(active, xp, 0.0)
-        out = jnp.zeros((patchset.nflat + 1,), dtype=r_flat.dtype)
-        return out.at[dofs].add(xp)[:-1]
+    def factor(tensors_M, gamma):
+        Mp = assemble_patch_matrices(patchset, tensors_M).astype(dt)
+        Mlu = jax.scipy.linalg.lu_factor(Mp)
+        Y = jax.scipy.linalg.lu_solve(Mlu, Bp)  # (np, m, r)
+        S = jnp.einsum("pmr,pms->prs", Bp, Y)
+        geff = woodbury_effective_gamma(gamma, S)
+        C = jnp.eye(r, dtype=dt) / geff + S
+        Clu = jax.scipy.linalg.lu_factor(C)
+        return {"Mlu": Mlu, "Clu": Clu, "Y": Y}
+
+    def apply(fac, r_flat):
+        rp = gather(r_flat).astype(dt)
+        y = jax.scipy.linalg.lu_solve(fac["Mlu"], rp[..., None])[..., 0]
+        t = jnp.einsum("pmr,pm->pr", Bp, y)
+        s = jax.scipy.linalg.lu_solve(fac["Clu"], t[..., None])[..., 0]
+        x = y - jnp.einsum("pmr,pr->pm", fac["Y"], s)
+        return scatter(x, r_flat.dtype)
 
     return factor, apply

@@ -65,6 +65,13 @@ class SchoeberlTransfer:
         nch_total, groups = self._patch_cell_groups(hierarchy, l)
         ps = cell_patches(V, zmask.reshape(-1), groups)
         self.patchset = ps
+        # NOTE: the transfer's patch solves stay on the direct (f64)
+        # factorisation path even when the smoother uses the gamma-split
+        # Woodbury solver: the prolongation quality is the component the
+        # gamma-robustness is most sensitive to (empirically the f32
+        # Woodbury transfer stalls the outer FGMRES at Re>=100 even
+        # though its isolated outputs agree to ~0.4%).
+        self.woodbury = False
         self.factor, self.papply = build_patch_solver(ps)
 
     @staticmethod
@@ -91,25 +98,31 @@ class SchoeberlTransfer:
 
     # ------------------------------------------------------------------
     def setup(self, params):
-        """Per-parameter state (pure): patch LUs of the transfer form and
-        the grad-div-only element tensors."""
+        """Per-parameter state (pure): patch factorisations of the
+        transfer form (nu viscous + gamma graddiv, no advection)."""
         form = self.fine_level.form
         zero_wind = jnp.zeros((self.fine_level.V.ndof, self.mg.d),
                               dtype=real_dtype)
         params_a = dict(params)
         params_a["advect"] = jnp.zeros_like(params["advect"])
-        tensors_a = form.velocity_element_tensors(params_a, zero_wind)
-        lufac = self.factor(tensors_a)
-        params_gd = dict(params_a)
-        params_gd["nu"] = jnp.zeros_like(params["nu"])
-        tensors_gd = form.velocity_element_tensors(params_gd, zero_wind)
-        return {"lufac": lufac, "tensors_gd": tensors_gd}
+        if self.woodbury:
+            params_M = dict(params_a)
+            params_M["gamma"] = jnp.zeros_like(params["gamma"])
+            tensors_M = form.velocity_element_tensors(params_M, zero_wind)
+            lufac = self.factor(tensors_M, params["gamma"])
+        else:
+            tensors_a = form.velocity_element_tensors(params_a, zero_wind)
+            lufac = self.factor(tensors_a)
+        return {"lufac": lufac, "gamma": params["gamma"]}
 
-    def _apply_gd(self, tensors_gd, v):
-        """Raw gamma-grad-div operator (no BC handling)."""
+    def _apply_gd(self, gamma, v):
+        """Raw gamma-grad-div operator via the static low-rank factors
+        (no BC handling)."""
         lev = self.fine_level
+        Bt = lev.form.graddiv_factors()  # (nc, nld, q)
         vloc = v.reshape(-1)[lev.rows]
-        rloc = jnp.einsum("cij,cj->ci", tensors_gd, vloc)
+        t = jnp.einsum("clq,cl->cq", Bt, vloc)
+        rloc = gamma * jnp.einsum("clq,cq->cl", Bt, t)
         r = jnp.zeros((lev.V.ndof * self.mg.d,), dtype=v.dtype)
         return r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.mg.d)
 
@@ -119,11 +132,11 @@ class SchoeberlTransfer:
 
     def prolong(self, state, uc):
         rhs = self.standard.apply(uc)
-        b = self.zmask * self._apply_gd(state["tensors_gd"], rhs)
+        b = self.zmask * self._apply_gd(state["gamma"], rhs)
         tildeu = self._patch_solve(state["lufac"], b)
         return rhs - tildeu
 
     def restrict(self, state, rf):
         t = self._patch_solve(state["lufac"], self.zmask * rf)
-        b = self._apply_gd(state["tensors_gd"], t)
+        b = self._apply_gd(state["gamma"], t)
         return self.standard.apply_transpose(rf - b)

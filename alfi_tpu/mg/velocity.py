@@ -110,6 +110,14 @@ class VelocityMG:
         ]
         self.patch_composition = getattr(solver, "patch_composition",
                                          "additive")
+        from ..config import use_woodbury
+
+        #: gamma-split f32 factorisations (TPU); multiplicative sweeps
+        #: currently keep the direct factorisation path
+        self.use_woodbury = (use_woodbury()
+                             and self.patch_composition == "additive")
+        #: granular override (diagnostics): coarse solve strategy
+        self.wb_coarse = self.use_woodbury
         direction = problem.relaxation_direction()
         self.patch_solvers = []
         for l in range(1, self.nlevels):
@@ -123,8 +131,19 @@ class VelocityMG:
 
                 self.patch_solvers.append(
                     build_multiplicative_solver(ps, direction=direction))
+            elif self.use_woodbury:
+                from .patches import build_patch_solver_woodbury
+
+                self.patch_solvers.append(build_patch_solver_woodbury(
+                    ps, lev.form.graddiv_factors()))
             else:
                 self.patch_solvers.append(build_patch_solver(ps))
+
+        if self.use_woodbury:
+            # materialise the static grad-div factors OUTSIDE any jit
+            # trace (the cache must hold concrete arrays, not tracers)
+            for lev in self.levels:
+                lev.form.graddiv_factors()
 
         self.schoeberl = None
         if transfer_mode == "schoeberl":
@@ -147,36 +166,79 @@ class VelocityMG:
 
     # ------------------------------------------------------------------
     def setup(self, u_fine, params):
-        """Build the per-Newton-step state: winds, tensors, patch LUs,
-        coarse LU.  Pure (jit-safe)."""
+        """Build the per-Newton-step state: winds, tensors, patch
+        factorisations, coarse factorisation.  Pure (jit-safe; called
+        inside the per-Newton-step trace)."""
         winds = [None] * self.nlevels
         winds[-1] = u_fine
         for l in range(self.nlevels - 2, -1, -1):
             winds[l] = self.injects[l].apply(winds[l + 1])
-        tensors = [
-            self.levels[l].form.velocity_element_tensors(params, winds[l])
-            for l in range(self.nlevels)
-        ]
-        if self.smoother == "patch":
-            patch_lufacs = [
-                self.patch_solvers[l - 1][0](tensors[l])
-                for l in range(1, self.nlevels)
+        gamma = params["gamma"]
+        wb = self.use_woodbury
+        if wb:
+            params_M = dict(params)
+            params_M["gamma"] = jnp.zeros_like(gamma)
+            tensors_M = [
+                self.levels[l].form.velocity_element_tensors(
+                    params_M, winds[l])
+                for l in range(self.nlevels)
             ]
+            # full operators for level_apply: M + gamma * Bt Bt^T
+            tensors = [
+                tM + gamma * jnp.einsum(
+                    "cip,cjp->cij", self.levels[l].form.graddiv_factors(),
+                    self.levels[l].form.graddiv_factors())
+                for l, tM in enumerate(tensors_M)
+            ]
+        else:
+            tensors = [
+                self.levels[l].form.velocity_element_tensors(
+                    params, winds[l])
+                for l in range(self.nlevels)
+            ]
+        if self.smoother == "patch":
+            if wb:
+                patch_lufacs = [
+                    self.patch_solvers[l - 1][0](tensors_M[l], gamma)
+                    for l in range(1, self.nlevels)
+                ]
+            else:
+                patch_lufacs = [
+                    self.patch_solvers[l - 1][0](tensors[l])
+                    for l in range(1, self.nlevels)
+                ]
         else:  # jacobi: operator diagonals per level
             patch_lufacs = [
                 self._assemble_diag(l, tensors[l])
                 for l in range(1, self.nlevels)
             ]
-        from ..solvers.batched_lu import get_factorization
+        from ..solvers.linear import (
+            assemble_dense_from_tensors,
+            assemble_dense_graddiv_factors,
+            woodbury_dense_closure,
+        )
 
         lev0 = self.levels[0]
-        A0 = assemble_dense_velocity(lev0.form, winds[0], params,
-                                     lev0.mask_u)
-        coarse_lu = get_factorization().factor(A0)
+        if wb and self.wb_coarse:
+            M0 = assemble_dense_from_tensors(lev0.form, tensors_M[0],
+                                             lev0.mask_u)
+            B0 = assemble_dense_graddiv_factors(lev0.form, lev0.mask_u)
+            coarse_solve = woodbury_dense_closure(M0, B0, gamma)
+        else:
+            from ..solvers.batched_lu import get_factorization
+
+            A0 = assemble_dense_from_tensors(lev0.form, tensors[0],
+                                             lev0.mask_u)
+            fac0 = get_factorization().factor(A0)
+            fs = get_factorization()
+
+            def coarse_solve(b):
+                return fs.solve(fac0, b)
+
         state = {
             "tensors": tensors,
             "patch_lufacs": patch_lufacs,
-            "coarse_lu": coarse_lu,
+            "coarse_solve": coarse_solve,
         }
         if self.schoeberl is not None:
             state["schoeberl"] = [
@@ -248,10 +310,8 @@ class VelocityMG:
 
     # ------------------------------------------------------------------
     def _coarse_solve(self, state, r):
-        from ..solvers.batched_lu import get_factorization
-
         lev0 = self.levels[0]
-        x = get_factorization().solve(state["coarse_lu"], r.reshape(-1))
+        x = state["coarse_solve"](r.reshape(-1))
         return (x.reshape(-1, self.d) * lev0.mask_u
                 + (1.0 - lev0.mask_u) * r)
 

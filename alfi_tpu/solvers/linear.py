@@ -90,12 +90,53 @@ def assemble_dense_velocity(form, wind, params, mask_u):
     """Dense velocity-block Jacobian (viscous + grad-div + linearised
     advection at ``wind``), BC-eliminated."""
     T = form.velocity_element_tensors(params, wind)  # (nc, nlv*d, nlv*d)
+    return assemble_dense_from_tensors(form, T, mask_u)
+
+
+def assemble_dense_from_tensors(form, T, mask_u):
     rows = vector_rows(form.V)
     N = form.V.ndof * form.dim
     A = jnp.zeros((N, N), dtype=real_dtype)
     A = A.at[rows[:, :, None], rows[:, None, :]].add(T)
     m = mask_u.reshape(-1)
     return m[:, None] * A * m[None, :] + jnp.diag(1.0 - m)
+
+
+def assemble_dense_graddiv_factors(form, mask_u):
+    """Dense (N, nc*q) grad-div factor matrix with BC rows zeroed — the
+    coarse-grid companion of NSForm.graddiv_factors."""
+    Bt = form.graddiv_factors()  # (nc, nld, q)
+    nc, nld, q = Bt.shape
+    rows = vector_rows(form.V)  # (nc, nld)
+    N = form.V.ndof * form.dim
+    cols = (jnp.arange(nc) * q)[:, None, None] + jnp.arange(q)[None, None]
+    cols = jnp.broadcast_to(cols, (nc, nld, q))
+    B = jnp.zeros((N, nc * q), dtype=real_dtype)
+    B = B.at[rows[:, :, None], cols].add(Bt)
+    return mask_u.reshape(-1)[:, None] * B
+
+
+def woodbury_dense_closure(M, B, gamma):
+    """x -> (M + gamma B B^T)^{-1} x in f32 with gamma-independent
+    conditioning (see mg/patches.py build_patch_solver_woodbury)."""
+    dt = jnp.float32
+    M32, B32 = M.astype(dt), B.astype(dt)
+    from ..mg.patches import woodbury_effective_gamma
+
+    Mlu = jax.scipy.linalg.lu_factor(M32)
+    Y = jax.scipy.linalg.lu_solve(Mlu, B32)
+    R = B.shape[1]
+    S = B32.T @ Y
+    geff = woodbury_effective_gamma(gamma, S)
+    C = jnp.eye(R, dtype=dt) / geff + S
+    Clu = jax.scipy.linalg.lu_factor(C)
+
+    def solve(b):
+        y = jax.scipy.linalg.lu_solve(Mlu, b.astype(dt))
+        s = jax.scipy.linalg.lu_solve(Clu, B32.T @ y)
+        return (y - Y @ s).astype(b.dtype)
+
+    return solve
 
 
 def lu_solve_closure(A):
