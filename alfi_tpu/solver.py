@@ -106,6 +106,12 @@ class NavierStokesSolver:
         self.char_L = problem.char_length()
         self.char_U = problem.char_velocity()
         self.gamma = float(gamma)
+        if solver_type == "simple":
+            # the non-AL baseline runs without grad-div augmentation
+            # (/root/reference/alfi/solver.py:128-130)
+            if self.verbose:
+                print("Setting gamma to 0")
+            self.gamma = 0.0
         self.nu_val = 1.0
         self.advect_val = 0.0
 
@@ -262,13 +268,27 @@ class NavierStokesSolver:
             self._linear_step = lin
         elif self.solver_type == "almg":
             self._linear_step = self._build_almg_step(project)
+        elif self.solver_type == "simple":
+            # weak baseline (the reference's "simple" mode with ML AMG,
+            # /root/reference/alfi/solver.py:423-445): gamma=0, velocity
+            # block by a jacobi-chebyshev V-cycle, Schur by -nu Mp^{-1};
+            # iteration counts are EXPECTED to grow with Re — that is
+            # what the AL solvers are measured against.
+            self._linear_step = self._build_almg_step(
+                project, transfer_mode="standard", smoother="jacobi",
+                smoother_driver="chebyshev", cycle="v")
         else:
             raise NotImplementedError(self.solver_type)
 
-    def _build_almg_step(self, project):
+    def _build_almg_step(self, project, transfer_mode="schoeberl",
+                         smoother="patch", smoother_driver="fgmres",
+                         cycle="full"):
         from .mg.velocity import VelocityMG
 
-        self.vmg = VelocityMG(self, transfer_mode="schoeberl")
+        self.vmg = VelocityMG(self, transfer_mode=transfer_mode,
+                              smoother=smoother,
+                              smoother_driver=smoother_driver,
+                              cycle=cycle)
         form, bcset = self.form, self.bcset
         tol = self.tolerances
         mask_u = bcset.mask[0]
@@ -316,11 +336,18 @@ class NavierStokesSolver:
             self.message("  %3d SNES Function norm %14.12e" % (it, fnorm))
 
         tol = self.tolerances
-        z, ninfo = newton(
-            lambda zz: self._residual_jit(zz, params),
-            lambda zz, FF: self._linear_step(zz, FF, params),
-            self.z, maxit=20, rtol=tol["snes_rtol"], atol=tol["snes_atol"],
-            stol=tol["snes_stol"], monitor=monitor if self.verbose else None)
+        from .utils.events import timed_function, timed_region
+
+        residual_t = timed_function("SNESFunctionEval")(
+            lambda zz: self._residual_jit(zz, params))
+        linear_t = timed_function("KSPSolve")(
+            lambda zz, FF: self._linear_step(zz, FF, params))
+        with timed_region("SNESSolve"):
+            z, ninfo = newton(
+                residual_t, linear_t,
+                self.z, maxit=20, rtol=tol["snes_rtol"],
+                atol=tol["snes_atol"], stol=tol["snes_stol"],
+                monitor=monitor if self.verbose else None)
         elapsed = _time.perf_counter() - start
         self.message(GREEN % (
             "Nonlinear solve %s in %d iterations (%s)" % (
