@@ -165,7 +165,16 @@ class VelocityMG:
         return lev.mask_u * r + (1.0 - lev.mask_u) * v
 
     # ------------------------------------------------------------------
-    def setup(self, u_fine, params):
+    def transfer_setup(self, params):
+        """Schoeberl transfer factorisations — depend only on (nu, gamma),
+        so the solver computes them ONCE per Reynolds solve (the
+        reference's parameter-keyed rebuild cache,
+        /root/reference/alfi/transfer.py:168-184)."""
+        if self.schoeberl is None:
+            return None
+        return [t.setup(params) for t in self.schoeberl]
+
+    def setup(self, u_fine, params, schoeberl_state=None):
         """Build the per-Newton-step state: winds, tensors, patch
         factorisations, coarse factorisation.  Pure (jit-safe; called
         inside the per-Newton-step trace)."""
@@ -241,9 +250,10 @@ class VelocityMG:
             "coarse_solve": coarse_solve,
         }
         if self.schoeberl is not None:
-            state["schoeberl"] = [
-                t.setup(params) for t in self.schoeberl
-            ]
+            state["schoeberl"] = (schoeberl_state
+                                  if schoeberl_state is not None
+                                  else [t.setup(params)
+                                        for t in self.schoeberl])
         if self.smoother_driver == "chebyshev":
             state["lmax"] = [
                 self._estimate_lmax(l, state)

@@ -244,7 +244,8 @@ class NavierStokesSolver:
                 x = solve(-flatten_mixed(F))
                 return bcset.zero(unflatten_mixed(x, Z)), jnp.asarray(1)
 
-            self._linear_step = lin
+            self._linear_step = \
+                lambda z, F, params, tstate=None: lin(z, F, params)
         elif self.solver_type == "allu":
             mask_u = bcset.mask[0]
             d = self.tdim
@@ -265,7 +266,8 @@ class NavierStokesSolver:
                     project=project)
                 return bcset.zero(dz), info["iters"]
 
-            self._linear_step = lin
+            self._linear_step = \
+                lambda z, F, params, tstate=None: lin(z, F, params)
         elif self.solver_type == "almg":
             self._linear_step = self._build_almg_step(project)
         elif self.solver_type == "simple":
@@ -294,9 +296,11 @@ class NavierStokesSolver:
         mask_u = bcset.mask[0]
         vmg = self.vmg
 
+        self._transfer_setup = jax.jit(vmg.transfer_setup)
+
         @jax.jit
-        def lin(z, F, params):
-            state = vmg.setup(z[0], params)
+        def lin(z, F, params, tstate):
+            state = vmg.setup(z[0], params, schoeberl_state=tstate)
             solve_A = vmg.make_solve_A(state)
             pc = SchurPC(form, mask_u, solve_A).make_apply(params)
             J = make_jacobian_matvec(form.residual, bcset, z, params)
@@ -306,7 +310,10 @@ class NavierStokesSolver:
                 project=project)
             return bcset.zero(dz), info["iters"]
 
-        return lin
+        def lin_wrapped(z, F, params, tstate=None):
+            return lin(z, F, params, tstate)
+
+        return lin_wrapped
 
     # ------------------------------------------------------------------
     def message(self, msg):
@@ -338,10 +345,14 @@ class NavierStokesSolver:
         tol = self.tolerances
         from .utils.events import timed_function, timed_region
 
+        # transfer operators depend only on (nu, gamma): build once per Re
+        tstate = (self._transfer_setup(params)
+                  if getattr(self, "_transfer_setup", None) is not None
+                  else None)
         residual_t = timed_function("SNESFunctionEval")(
             lambda zz: self._residual_jit(zz, params))
         linear_t = timed_function("KSPSolve")(
-            lambda zz, FF: self._linear_step(zz, FF, params))
+            lambda zz, FF: self._linear_step(zz, FF, params, tstate))
         with timed_region("SNESSolve"):
             z, ninfo = newton(
                 residual_t, linear_t,
