@@ -128,12 +128,15 @@ class ThreeDimLidDrivenCavityMMSProblem(TwoDimLidDrivenCavityMMSProblem):
         return _p_unit(0.5 * xyz[:2], 0.5 * nu)
 
     def bcs(self, Z):
+        # exact values on the faces where the (z-independent) solution is
+        # nonzero: y=2, z=0, z=2 — tags [4, 5, 6]; it vanishes on x=0,
+        # x=2, y=0 (/root/reference/examples/mmsldc3d/mmsldc3d.py:24-27)
         u_np = jax.vmap(self.u_exact)
 
-        def lid(x):
+        def exact(x):
             return np.asarray(u_np(jnp.asarray(x)))
 
         return [
-            DirichletBC(Z.V, lid, 4),
-            DirichletBC(Z.V, (0.0, 0.0, 0.0), [1, 2, 3, 5, 6]),
+            DirichletBC(Z.V, exact, [4, 5, 6]),
+            DirichletBC(Z.V, (0.0, 0.0, 0.0), [1, 2, 3]),
         ]
