@@ -192,18 +192,67 @@ class NSForm:
     # ------------------------------------------------------------------
     # element tensors (for patches / coarse grids)
     # ------------------------------------------------------------------
+    def _static_velocity_tensors(self):
+        """Geometry-only parts of the velocity Jacobian: (K viscous,
+        G grad-div) as (nc, nl*d, nl*d) constants, plus the advection
+        tabulations.  Computed once, concrete (compile-time)."""
+        if getattr(self, "_static_vt", None) is not None:
+            return self._static_vt
+        with jax.ensure_compile_time_eval():
+            jinv, detj, vol = self._geom_args()
+            tv = self.tab_v
+            nl, d = tv.nloc, self.dim
+            wdet = tv.w[None, :] * detj[:, None]
+            g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)  # phys grads
+            # viscous: 2 (sym grad u, sym grad v) = (grad u + grad u^T,
+            # grad v);  K[(l,i),(m,j)] =
+            #   delta_ij int g_l . g_m  +  int g_m[i] g_l[j]
+            gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
+            K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
+                 + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
+                 ).reshape(-1, nl * d, nl * d)
+            Bt = self.graddiv_factors()
+            G = jnp.einsum("cip,cjp->cij", Bt, Bt)
+        self._static_vt = (K, G)
+        return self._static_vt
+
     def velocity_element_tensors(self, params, wind):
-        """(nc, nloc_v*d, nloc_v*d) Jacobian of the velocity block at the
-        given wind, flattened with local index l*d + component."""
+        """(nc, nloc_v*d, nloc_v*d) Newton Jacobian of the velocity block
+        at the given wind, flattened with local index l*d + component:
+
+            nu K + gamma G + advect N(wind),
+
+        with static K (viscous), G (grad-div) and the advection
+        linearisation N[(l,i),(m,j)] =
+            delta_ij (phi_l, grad phi_m . w) + (phi_l, d_j w_i phi_m)
+        (the jvp of (grad u) u at w: (grad du) w + (grad w) du)."""
+        K, G = self._static_velocity_tensors()
+        nu, gamma = params["nu"], params["gamma"]
+        advect = params.get("advect", 0.0)
+        jinv, detj, vol = self._geom_args()
+        tv = self.tab_v
+        nl, d = tv.nloc, self.dim
+        wdet = tv.w[None, :] * detj[:, None]
+        w_loc = wind[self.cd_v]
+        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
+        w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
+        gw = jnp.einsum("cqlj,cli->cqij", g, w_loc)  # grad w at q
+        adv1 = jnp.einsum("cq,ql,cqmd,cqd->clm", wdet, tv.phi, g, w_q)
+        N = jnp.einsum("clm,ij->climj", adv1, jnp.eye(d))
+        N = N + jnp.einsum("cq,ql,qm,cqij->climj", wdet, tv.phi, tv.phi,
+                           gw)
+        N = N.reshape(-1, nl * d, nl * d)
+        return nu * K + gamma * G + advect * N
+
+    def velocity_element_tensors_ad(self, params, wind):
+        """jacfwd reference implementation (used to validate the closed
+        form above)."""
         jinv, detj, vol = self._geom_args()
         w_loc = wind[self.cd_v]
         nl, d = self.tab_v.nloc, self.dim
 
         def cell_jac(wl, ji, dj, vo):
             def r(ul):
-                # Newton linearisation: d/du [advect (grad u) u] at wl
-                # = advect ((grad du) wl + (grad wl) du); obtained as jvp of
-                # the nonlinear kernel below
                 return self.cell_velocity_residual(ul, ul, ji, dj, vo,
                                                    params)
 
