@@ -148,6 +148,102 @@ class DistributedResidual:
         out = jnp.zeros_like(ub)
         return out.at[lcd].add(rv)
 
+    def block_tensors(self, tensors):
+        """Per-block padded element tensors (nb, mc, nld, nld)."""
+        Tpad = jnp.concatenate(
+            [tensors, jnp.zeros((1,) + tensors.shape[1:],
+                                dtype=tensors.dtype)], axis=0)
+        safe = jnp.where(self.dead, tensors.shape[0], self.cells)
+        return Tpad[safe]
+
+    def block_masks(self):
+        """(nb, L+1, d) BC row masks on local dofs (+dump row)."""
+        mflat = self.mask_flat  # (ndof, d)
+        mb = mflat[self.gdofs] * self.valid[..., None]
+        return jnp.concatenate(
+            [mb, jnp.zeros((self.nb, 1, self.d), dtype=mb.dtype)],
+            axis=1)
+
+    def make_distributed_cg(self, mesh: Mesh, tensors, rtol=1e-8,
+                            maxit=200):
+        """A complete CG solve running INSIDE one shard_map: local
+        matvecs, halo-exchange psums for the scatter completion, and
+        owner-weighted psums for every dot product — the full
+        communication pattern of the reference's parallel Krylov loop
+        (halo VecScatter + allreduce dots, SURVEY.md §5.8)."""
+        from jax import lax, shard_map
+
+        axis = self.mesh_axis
+        ns, L, d = self.ns, self.L, self.d
+        Tb = self.block_tensors(tensors)
+        maskb = self.block_masks()
+        ownerw = jnp.concatenate(
+            [self.owner.astype(jnp.float64),
+             jnp.zeros((self.nb, 1))], axis=1)[..., None]
+
+        def kernel(b_loc, Tb, maskb, ownerw, lcd, dead, lidx, sslot):
+            b_loc, Tb, maskb, ownerw = b_loc[0], Tb[0], maskb[0], ownerw[0]
+            lcd, dead, lidx, sslot = lcd[0], dead[0], lidx[0], sslot[0]
+
+            def exchange(r):
+                buf = jnp.zeros((ns + 1, d), dtype=r.dtype)
+                buf = buf.at[sslot].add(r[lidx])
+                buf = lax.psum(buf, axis)
+                return r.at[lidx].set(buf[sslot])
+
+            def matvec(v):
+                v0 = v * maskb
+                vloc = v0[lcd]  # (mc, nld_flat?) -> flatten comps
+                vloc = vloc.reshape(vloc.shape[0], -1)
+                rloc = jnp.einsum("cij,cj->ci", Tb, vloc)
+                rloc = jnp.where(dead[:, None], 0.0, rloc)
+                r = jnp.zeros_like(v)
+                r = r.at[lcd].add(rloc.reshape(len(Tb), -1, d))
+                r = exchange(r)
+                return maskb * r + (1.0 - maskb) * v
+
+            def dot(a, c):
+                return lax.psum(jnp.sum(ownerw * a * c), axis)
+
+            b = b_loc * maskb
+            bnorm = jnp.sqrt(dot(b, b))
+            x = jnp.zeros_like(b)
+            r = b
+            p = r
+            rz = dot(r, r)
+
+            def cond(st):
+                x, r, p, rz, it = st
+                return (jnp.sqrt(rz) > rtol * bnorm) & (it < maxit)
+
+            def body(st):
+                x, r, p, rz, it = st
+                Ap = matvec(p)
+                alpha = rz / (dot(p, Ap) + 1e-300)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                rz_new = dot(r, r)
+                p = r + (rz_new / (rz + 1e-300)) * p
+                return x, r, p, rz_new, it + 1
+
+            x, r, p, rz, it = lax.while_loop(
+                cond, body, (x, r, p, rz, jnp.asarray(0)))
+            return x[None], it[None]
+
+        spec = P(axis)
+        fn = shard_map(
+            kernel, mesh=mesh,
+            in_specs=(spec,) * 8,
+            out_specs=(spec, spec))
+
+        def solve(b_global):
+            bb = self.scatter_state(b_global)
+            xb, its = fn(bb, Tb, maskb, ownerw, self.lcd, self.dead,
+                         self.lidx, self.sslot)
+            return self.gather_state(xb), int(jnp.max(its))
+
+        return solve
+
     def make_residual(self, mesh: Mesh, params):
         """shard_map'd global velocity-block residual: block assembly +
         ONE interface psum."""

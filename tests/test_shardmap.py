@@ -51,3 +51,49 @@ def test_distributed_velocity_residual_matches_global():
     err = float(jnp.max(jnp.abs(r_dist - r_global)))
     scale = float(jnp.max(jnp.abs(r_global)))
     assert err < 1e-10 * max(1.0, scale), err
+
+
+def test_distributed_cg_matches_global():
+    """Full Krylov loop inside shard_map (matvec + halo psum + owner-
+    weighted dots) vs the global CG."""
+    from alfi_tpu.solvers.krylov import cg
+
+    mesh = rectangle_mesh(6, 6, 2, 2)
+    V = VectorFunctionSpace(mesh, lagrange(2, 2))
+    Q = FunctionSpace(mesh, dg_lagrange(2, 0))
+    Z = MixedFunctionSpace(V, Q)
+    form = NSForm(V, Q, graddiv_mode="cell_avg")
+    bcset = BCSet(Z, [DirichletBC(V, (0.0, 0.0), None)])
+    params = {
+        "nu": jnp.asarray(1.0),
+        "gamma": jnp.asarray(1.0),
+        "advect": jnp.asarray(0.0),
+    }
+    wind = jnp.zeros((V.ndof, 2))
+    tensors = form.velocity_element_tensors(params, wind)
+
+    dmesh = make_device_mesh(8)
+    blocks = partition_cells(mesh, 8)
+    dist = DistributedResidual(form, bcset, "mesh", blocks)
+    solve = dist.make_distributed_cg(dmesh, tensors, rtol=1e-10,
+                                     maxit=500)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(V.ndof, 2))) * bcset.mask[0]
+    x_dist, its = solve(b)
+    assert its < 500
+
+    mask = bcset.mask[0]
+    rows = jnp.asarray(np.asarray(
+        V.cell_dofs[:, :, None] * 2 + np.arange(2)).reshape(
+            len(form.geom.detj), -1))
+
+    def A(v):
+        v0 = (mask * v).reshape(-1)
+        rloc = jnp.einsum("cij,cj->ci", tensors, v0[rows])
+        r = jnp.zeros((V.ndof * 2,)).at[rows].add(rloc)
+        r = r.reshape(-1, 2)
+        return mask * r + (1.0 - mask) * v
+
+    x_ref, info = cg(A, b, rtol=1e-10, maxit=500)
+    err = float(jnp.max(jnp.abs(x_dist - x_ref)))
+    assert err < 1e-7 * max(1.0, float(jnp.max(jnp.abs(x_ref)))), err
