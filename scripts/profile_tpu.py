@@ -55,10 +55,11 @@ def main(baseN=16, nref=2):
         return jax.jit(fn)
 
     timeit("setup+1cycle", setup_cycles(1), z[0], params, z[0])
-    timeit("setup+3cycle", setup_cycles(3), z[0], params, z[0])
+    timeit("setup+2cycle", setup_cycles(2), z[0], params, z[0])
 
     F = s._residual_jit(z, params)
-    timeit("linear-step", s._linear_step, z, F, params)
+    tstate = s._transfer_setup(params)
+    timeit("linear-step", s._linear_step, z, F, params, tstate)
 
 
 if __name__ == "__main__":
