@@ -17,6 +17,18 @@ import jax
 if os.environ.get("ALFI_TPU_X64", "1") == "1":
     jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the solver programs are large (minutes of
+# XLA time on TPU) and identical across processes/runs
+if os.environ.get("ALFI_TPU_COMPILE_CACHE", "1") == "1":
+    _cache_dir = os.environ.get(
+        "ALFI_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "alfi_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # older jax without the knobs
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

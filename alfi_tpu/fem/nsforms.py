@@ -194,27 +194,23 @@ class NSForm:
     # ------------------------------------------------------------------
     def _static_velocity_tensors(self):
         """Geometry-only parts of the velocity Jacobian: (K viscous,
-        G grad-div) as (nc, nl*d, nl*d) constants, plus the advection
-        tabulations.  Computed once, concrete (compile-time)."""
-        if getattr(self, "_static_vt", None) is not None:
-            return self._static_vt
-        with jax.ensure_compile_time_eval():
-            jinv, detj, vol = self._geom_args()
-            tv = self.tab_v
-            nl, d = tv.nloc, self.dim
-            wdet = tv.w[None, :] * detj[:, None]
-            g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)  # phys grads
-            # viscous: 2 (sym grad u, sym grad v) = (grad u + grad u^T,
-            # grad v);  K[(l,i),(m,j)] =
-            #   delta_ij int g_l . g_m  +  int g_m[i] g_l[j]
-            gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
-            K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
-                 + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
-                 ).reshape(-1, nl * d, nl * d)
-            Bt = self.graddiv_factors()
-            G = jnp.einsum("cip,cjp->cij", Bt, Bt)
-        self._static_vt = (K, G)
-        return self._static_vt
+        G grad-div) as (nc, nl*d, nl*d).  Recomputed in-trace per call —
+        a few cheap einsums; embedding them as jit constants (~tens of
+        MB) was observed to blow up XLA compile times on TPU."""
+        jinv, detj, vol = self._geom_args()
+        tv = self.tab_v
+        nl, d = tv.nloc, self.dim
+        wdet = tv.w[None, :] * detj[:, None]
+        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)  # phys grads
+        # viscous: 2 (sym grad u, sym grad v); K[(l,i),(m,j)] =
+        #   delta_ij int g_l . g_m  +  int g_m[i] g_l[j]
+        gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
+        K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
+             + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
+             ).reshape(-1, nl * d, nl * d)
+        Bt = self.graddiv_factors()
+        G = jnp.einsum("cip,cjp->cij", Bt, Bt)
+        return K, G
 
     def velocity_element_tensors(self, params, wind):
         """(nc, nloc_v*d, nloc_v*d) Newton Jacobian of the velocity block
