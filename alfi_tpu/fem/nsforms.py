@@ -223,13 +223,33 @@ class NSForm:
             delta_ij (phi_l, grad phi_m . w) + (phi_l, d_j w_i phi_m)
         (the jvp of (grad u) u at w: (grad du) w + (grad w) du)."""
         K, G = self._static_velocity_tensors()
-        nu, gamma = params["nu"], params["gamma"]
-        advect = params.get("advect", 0.0)
-        jinv, detj, vol = self._geom_args()
+        jinv, detj, _ = self._geom_args()
+        w_loc = wind[self.cd_v]
+        return self._tensors_from_parts(params, K, G, w_loc, jinv, detj)
+
+    def velocity_element_tensors_from(self, params, w_loc, jinv, detj,
+                                      Bt):
+        """Same closed-form tensors from EXPLICIT per-cell batches (the
+        block-local entry point of the shard_map-distributed solver:
+        each device passes its own cells' wind / geometry / grad-div
+        factors, no global arrays)."""
         tv = self.tab_v
         nl, d = tv.nloc, self.dim
         wdet = tv.w[None, :] * detj[:, None]
-        w_loc = wind[self.cd_v]
+        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
+        gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
+        K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
+             + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
+             ).reshape(-1, nl * d, nl * d)
+        G = jnp.einsum("cip,cjp->cij", Bt, Bt)
+        return self._tensors_from_parts(params, K, G, w_loc, jinv, detj)
+
+    def _tensors_from_parts(self, params, K, G, w_loc, jinv, detj):
+        nu, gamma = params["nu"], params["gamma"]
+        advect = params.get("advect", 0.0)
+        tv = self.tab_v
+        nl, d = tv.nloc, self.dim
+        wdet = tv.w[None, :] * detj[:, None]
         g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
         w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
         gw = jnp.einsum("cqlj,cli->cqij", g, w_loc)  # grad w at q

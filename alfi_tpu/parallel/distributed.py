@@ -1,0 +1,843 @@
+"""The flagship almg Newton step, distributed with shard_map.
+
+TPU-native re-design of the reference's MPI execution model (SURVEY.md
+§2d/§5.8): DMPlex overlap partitions + VecScatter halo exchange +
+allreduce dots become
+
+* a block decomposition of the mesh hierarchy (parallel/decompose.py) —
+  coarse partition, 2-layer overlap, partitions refined by lineage;
+* ONE shard_map program per solver step in which every assembly, patch
+  smoother sweep, Schoeberl transfer and Krylov iteration is block-local,
+  with
+    - interface-packed psums completing the owned-cells-only scatters
+      (the VecScatter analogue, riding ICI),
+    - owner-weighted psum inner products (the allreduce analogue,
+      solvers/krylov.py::ShardDotContext),
+    - the coarse grid assembled by a dense psum and solved replicated
+      (the PCTelescope analogue, /root/reference/alfi/solver.py:354-377).
+
+The computation mirrors the single-device almg step function-by-function
+(same FGMRES, same FMG cycle, same patch solves), so results agree with
+the global solver to summation-order roundoff — tests/test_distributed.py
+checks this on the virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import real_dtype
+from ..solvers.krylov import ShardDotContext, fgmres
+from ..solvers.batched_lu import get_factorization
+from .decompose import (
+    LevelDecomp,
+    coarse_partition,
+    expand_halo,
+    propagate_blocks,
+    split_patchset,
+    split_transfer,
+)
+
+_I32 = jnp.int32
+
+
+def _j(a, dtype=None):
+    return jnp.asarray(np.asarray(a), dtype=dtype)
+
+
+class DistributedSolver:
+    """shard_map-distributed execution of an existing almg solver.
+
+    Parameters
+    ----------
+    solver : NavierStokesSolver with solver_type="almg" (its VelocityMG
+        supplies the hierarchy, patch sets, Schoeberl transfers and
+        tolerances; the decomposition localizes all of them).
+    mesh : jax.sharding.Mesh (1D), one block per device.
+    """
+
+    def __init__(self, solver, mesh, axis="mesh", halo_layers=2):
+        if solver.solver_type != "almg":
+            raise ValueError("DistributedSolver requires solver_type=almg")
+        if solver.stabilisation is not None:
+            raise NotImplementedError(
+                "distributed stabilisation not implemented yet")
+        if getattr(solver.vmg, "use_woodbury", False):
+            raise NotImplementedError(
+                "distributed Woodbury patch solves not implemented yet")
+        self.solver = solver
+        self.mesh = mesh
+        self.axis = axis
+        vmg = solver.vmg
+        self.vmg = vmg
+        nb = int(mesh.devices.size)
+        self.nb = nb
+        mh = solver.mh
+        self.nlevels = vmg.nlevels
+        self.d = vmg.d
+        fs = get_factorization()
+        self.fs = fs
+
+        # ---------------- partition + halos (host) ----------------
+        base = (mh.uniform_meshes[0] if mh.kind == "bary" else mh[0])
+        block0 = coarse_partition(base, nb)
+        blocks, ublocks = propagate_blocks(mh, block0)
+        self.blocks = blocks
+        self.ublocks = ublocks
+
+        # level-0 local cells: owned + 2-layer overlap, then refine the
+        # partitions (children of local cells) down the hierarchy
+        local_sets = []
+        m0 = mh[0]
+        loc0 = []
+        for b in range(nb):
+            owned = blocks[0] == b
+            loc0.append(expand_halo(m0, owned, halo_layers))
+        local_sets.append(loc0)
+        for l in range(self.nlevels - 1):
+            c2f = mh.coarse_to_fine_cells(l)
+            nxt = []
+            for b in range(nb):
+                m = np.zeros(mh[l + 1].num_cells, dtype=bool)
+                m[np.unique(c2f[local_sets[l][b]])] = True
+                nxt.append(m)
+            local_sets.append(nxt)
+
+        # ---------------- per-level decompositions ----------------
+        self.levs = []
+        for l in range(self.nlevels):
+            owned_cells, halo_cells = [], []
+            for b in range(nb):
+                own = np.where((blocks[l] == b) & local_sets[l][b])[0]
+                hal = np.where((blocks[l] != b) & local_sets[l][b])[0]
+                assert np.all(local_sets[l][b][blocks[l] == b]), (
+                    "owned cells must be inside the local set")
+                owned_cells.append(own)
+                halo_cells.append(hal)
+            self.levs.append(LevelDecomp(
+                vmg.levels[l].V, owned_cells, halo_cells, blocks[l]))
+
+        self._build_local_arrays()
+        self._build_step_functions()
+
+    # ------------------------------------------------------------------
+    # host: localize every static table
+    # ------------------------------------------------------------------
+    def _level_arrays(self, l):
+        vmg, lev = self.vmg, self.levs[l]
+        V = vmg.levels[l].V
+        form = vmg.levels[l].form
+        d = self.d
+        g = form.geom
+        cells = np.clip(lev.cells_pad, 0, None)
+        live = ~lev.dead
+        jinv = np.where(live[:, :, None, None],
+                        np.asarray(g.jinv)[cells], 0.0)
+        detj = np.where(live, np.asarray(g.detj)[cells], 0.0)
+        vol = np.where(live, np.asarray(g.vol)[cells], 1.0)
+        Bt = np.where(live[:, :, None, None],
+                      np.asarray(form.graddiv_factors())[cells], 0.0)
+        mask_g = np.asarray(vmg.levels[l].mask_u)  # (ndof, d)
+        mask = np.zeros((lev.nb, lev.L + 1, d))
+        for b in range(lev.nb):
+            v = lev.valid[b]
+            mask[b, : lev.L][v] = mask_g[lev.gdofs[b][v]]
+        ownerw = np.concatenate(
+            [lev.owner.astype(np.float64),
+             np.zeros((lev.nb, 1))], axis=1)[..., None]
+        rows = np.where(
+            lev.dead[:, :, None], lev.L * d,
+            (lev.lcd[:, :, :, None] * d
+             + np.arange(d)[None, None, None, :]).reshape(
+                 lev.nb, lev.mc, -1))
+        return dict(
+            lcd=_j(lev.lcd, _I32), rows=_j(rows, _I32),
+            owned=_j(lev.owned_cell), live=_j(live),
+            jinv=_j(jinv, real_dtype), detj=_j(detj, real_dtype),
+            vol=_j(vol, real_dtype), Bt=_j(Bt, real_dtype),
+            mask=_j(mask, real_dtype), ownerw=_j(ownerw, real_dtype),
+            lidx=_j(lev.lidx, _I32), sslot=_j(lev.sslot, _I32),
+        )
+
+    def _build_local_arrays(self):
+        vmg = self.vmg
+        nb, d = self.nb, self.d
+        mh = self.solver.mh
+        loc = {}
+        loc["lev"] = [self._level_arrays(l) for l in range(self.nlevels)]
+
+        # smoother patches (levels 1..): seed-vertex block assignment
+        loc["patch"] = []
+        self._patch_meta = []
+        for l in range(1, self.nlevels):
+            lev = self.levs[l]
+            mesh_l = mh[l]
+            if self.solver.patch == "macro":
+                from ..mg.patches import macrostar_patches
+                ps = macrostar_patches(
+                    vmg.levels[l].V,
+                    np.asarray(vmg.levels[l].mask_flat))
+                seeds = np.where(mesh_l.macro_vertices)[0]
+            else:
+                from ..mg.patches import star_patches
+                ps = star_patches(
+                    vmg.levels[l].V,
+                    np.asarray(vmg.levels[l].mask_flat))
+                seeds = np.arange(mesh_l.num_vertices)
+            # vertex owner block = block of smallest containing cell
+            vowner = np.full(mesh_l.num_vertices,
+                             np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(vowner, mesh_l.cells.ravel().astype(np.int64),
+                          np.repeat(np.arange(mesh_l.num_cells,
+                                              dtype=np.int64),
+                                    mesh_l.cells.shape[1]))
+            patch_block = self.blocks[l][vowner[seeds]]
+            sp = split_patchset(ps, patch_block, lev)
+            self._patch_meta.append((sp["m"], sp["npm"]))
+            loc["patch"].append(dict(
+                pdofs=_j(sp["pdofs"], _I32), pcells=_j(sp["pcells"], _I32),
+                pl2p=_j(sp["pl2p"], _I32), pactive=_j(sp["pactive"])))
+
+        # Schoeberl transfer patches + skeleton masks per pair
+        loc["sch"] = []
+        for l in range(self.nlevels - 1):
+            tr = vmg.schoeberl[l]
+            levf = self.levs[l + 1]
+            zmask_g = np.asarray(tr.zmask)
+            zmask = np.zeros((nb, levf.L + 1, d))
+            for b in range(nb):
+                v = levf.valid[b]
+                zmask[b, : levf.L][v] = zmask_g[levf.gdofs[b][v]]
+            # patch p of the global set <-> coarse (uniform) cell p
+            pblocks = (self.ublocks[l] if mh.kind == "bary"
+                       else self.blocks[l])
+            sp = split_patchset(tr.patchset, pblocks, levf)
+            loc["sch"].append(dict(
+                zmask=_j(zmask, real_dtype),
+                pdofs=_j(sp["pdofs"], _I32), pcells=_j(sp["pcells"], _I32),
+                pl2p=_j(sp["pl2p"], _I32), pactive=_j(sp["pactive"])))
+
+        # nodal transfers per pair: prolongation (fine<-coarse) and
+        # wind injection (coarse<-fine)
+        loc["pro"], loc["inj"] = [], []
+        for l in range(self.nlevels - 1):
+            levc, levf = self.levs[l], self.levs[l + 1]
+            need_f = levf.near_owned_dofs(mh[l + 1], layers=1)
+            tr = vmg.prolongs[l]
+            if not hasattr(tr, "idx"):
+                raise NotImplementedError(
+                    "distributed bubble transfer not implemented yet")
+            idx, w = split_transfer(
+                np.asarray(tr.idx, dtype=np.int64), np.asarray(tr.w),
+                levc, levf, need_f)
+            loc["pro"].append(dict(idx=_j(idx, _I32),
+                                   w=_j(w, real_dtype)))
+            need_c = levc.near_owned_dofs(mh[l], layers=1)
+            trj = vmg.injects[l]
+            idx, w = split_transfer(
+                np.asarray(trj.idx, dtype=np.int64), np.asarray(trj.w),
+                levf, levc, need_c)
+            loc["inj"].append(dict(idx=_j(idx, _I32),
+                                   w=_j(w, real_dtype)))
+
+        # mixed fine-level extras: pressure per owned cell
+        solver = self.solver
+        form = solver.form
+        Q = solver.Z.Q
+        levf = self.levs[-1]
+        nlq = Q.cell_dofs.shape[1]
+        self.nlq = nlq
+        mco = levf.mco
+        owned0 = levf.cells_pad[:, :mco]
+        live0 = owned0 >= 0
+        qd = np.where(live0[:, :, None],
+                      Q.cell_dofs.astype(np.int64)[
+                          np.clip(owned0, 0, None)], -1)
+        minv_g = np.asarray(form.pressure_mass_inverse())
+        minv = np.where(live0[:, :, None, None],
+                        minv_g[np.clip(owned0, 0, None)], 0.0)
+        mask_p = np.asarray(solver.bcset.mask[1])
+        pmask = np.where(live0[:, :, None],
+                         mask_p[np.clip(qd, 0, None)], 0.0)
+        if form.rhs is not None:
+            xq_g = np.asarray(form.geom.quad_points_physical(
+                form.tab_v.ref_pts))
+            xq = np.where(live0[:, :, None, None],
+                          xq_g[np.clip(owned0, 0, None)], 0.0)
+        else:
+            xq = np.zeros((nb, mco, form.tab_v.nq, d))
+        validq = np.repeat(live0[:, :, None], nlq, axis=2)
+        loc["mix"] = dict(
+            qd=_j(qd, _I32), minv=_j(minv, real_dtype),
+            pmask=_j(pmask, real_dtype), validq=_j(validq),
+            xq=_j(xq, real_dtype))
+        self._q_total = int(Q.ndof)
+
+        # coarse dense solve tables
+        lev0 = self.levs[0]
+        V0 = vmg.levels[0].V
+        N0d = V0.ndof * d
+        self.N0d = N0d
+        rows_g = (V0.cell_dofs.astype(np.int64)[:, :, None] * d
+                  + np.arange(d)[None, None, :]).reshape(
+                      V0.mesh.num_cells, -1)
+        rows0 = np.where(lev0.dead[:, :, None], N0d,
+                         rows_g[np.clip(lev0.cells_pad, 0, None)])
+        gflat = np.where(
+            lev0.valid[:, :, None],
+            lev0.gdofs[:, :, None] * d + np.arange(d)[None, None, :],
+            N0d)
+        gflat = np.concatenate(
+            [gflat, np.full((nb, 1, d), N0d, dtype=np.int64)], axis=1)
+        loc["coarse"] = dict(rows=_j(rows0, _I32), gflat=_j(gflat, _I32))
+        self._mask0_flat = _j(
+            np.asarray(self.vmg.levels[0].mask_flat), real_dtype)
+
+        self.loc = loc
+
+    # ------------------------------------------------------------------
+    # device: block-local building blocks (operate on [0]-sliced views)
+    # ------------------------------------------------------------------
+    def _exchange(self, lv, r):
+        """Complete an owned-contributions scatter at interface dofs via
+        one packed psum (the VecScatter analogue); keeps the dump row
+        zero."""
+        L = r.shape[0] - 1
+        ns = int(lv["sslot_ns"])  # static, set by _annotate_ns
+        buf = jnp.zeros((ns + 1, r.shape[1]), dtype=r.dtype)
+        buf = buf.at[lv["sslot"]].add(r[lv["lidx"]])
+        buf = lax.psum(buf, self.axis)
+        r = r.at[lv["lidx"]].set(buf[lv["sslot"]])
+        return r.at[L].set(0.0)
+
+    def _level_matvec(self, lv, T, v):
+        """Masked velocity operator on (L+1, d) local arrays."""
+        mask = lv["mask"]
+        v0 = (mask * v).reshape(-1)
+        vloc = v0[lv["rows"]]
+        r = jnp.einsum("cij,cj->ci", T, vloc)
+        r = jnp.where(lv["owned"][:, None], r, 0.0)
+        L1 = v.shape[0]
+        out = jnp.zeros((L1 * v.shape[1],), dtype=v.dtype)
+        out = out.at[lv["rows"]].add(r).reshape(v.shape)
+        out = self._exchange(lv, out)
+        return mask * out + (1.0 - mask) * v
+
+    def _tensors(self, lv, form, w_u, params):
+        w_loc = w_u[lv["lcd"]]
+        T = form.velocity_element_tensors_from(
+            params, w_loc, lv["jinv"], lv["detj"], lv["Bt"])
+        return jnp.where(lv["live"][:, None, None], T, 0.0)
+
+    def _patch_factor(self, pa, T, m):
+        Tpad = jnp.concatenate(
+            [T, jnp.zeros((1,) + T.shape[1:], dtype=T.dtype)], axis=0)
+
+        def one(cells_p, l2p_p, act_p):
+            Tt = Tpad[cells_p]
+            A = jnp.zeros((m + 1, m + 1), dtype=T.dtype)
+            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(Tt)
+            A = A[:m, :m]
+            return A + jnp.diag(
+                jnp.where(act_p, 0.0, 1.0).astype(A.dtype))
+
+        return self.fs.factor(
+            jax.vmap(one)(pa["pcells"], pa["pl2p"], pa["pactive"]))
+
+    def _patch_apply(self, lv, pa, fac, r_flat, dtype):
+        rp = r_flat[pa["pdofs"]]
+        xp = self.fs.solve(fac, rp)
+        xp = jnp.where(pa["pactive"], xp, 0.0).astype(dtype)
+        out = jnp.zeros((r_flat.shape[0],), dtype=dtype)
+        out = out.at[pa["pdofs"]].add(xp)
+        d = self.d
+        return self._exchange(lv, out.reshape(-1, d))
+
+    def _patch_pc(self, lv, pa, fac):
+        mask = lv["mask"]
+
+        def pc(r):
+            rf = (mask * r).reshape(-1)
+            x = self._patch_apply(lv, pa, fac, rf, r.dtype)
+            return mask * x + (1.0 - mask) * r
+
+        return pc
+
+    # ---------------- transfers ----------------
+    def _prolong_std(self, pair, uc):
+        vals = uc[pair["idx"]]  # (Lf, nlc, d)
+        uf = jnp.einsum("ln,lnd->ld", pair["w"], vals)
+        return jnp.concatenate(
+            [uf, jnp.zeros((1, uf.shape[1]), dtype=uf.dtype)], axis=0)
+
+    def _prolong_std_T(self, pair, lvc, ownerw_f, rf):
+        rw = (rf * ownerw_f)[:-1]  # owned fine rows only
+        contrib = pair["w"][:, :, None] * rw[:, None, :]
+        Lc1 = lvc["mask"].shape[0]
+        out = jnp.zeros((Lc1, rf.shape[1]), dtype=rf.dtype)
+        out = out.at[pair["idx"]].add(contrib)
+        return self._exchange(lvc, out)
+
+    def _inject(self, pair, uf):
+        vals = uf[pair["idx"]]  # (Lc, nlf, d)
+        uc = jnp.einsum("ln,lnd->ld", pair["w"], vals)
+        return jnp.concatenate(
+            [uc, jnp.zeros((1, uc.shape[1]), dtype=uc.dtype)], axis=0)
+
+    def _apply_gd(self, lv, gamma, v):
+        """gamma-grad-div action from ALL live local cells, no exchange:
+        exact at every dof whose containing cells are all local (in
+        particular the interior dofs of this block's Schoeberl patches)."""
+        vloc = v.reshape(-1)[lv["rows"]]
+        t = jnp.einsum("clq,cl->cq", lv["Bt"], vloc)
+        rloc = gamma * jnp.einsum("clq,cq->cl", lv["Bt"], t)
+        out = jnp.zeros((v.shape[0] * v.shape[1],), dtype=v.dtype)
+        out = out.at[lv["rows"]].add(rloc)
+        return out.reshape(v.shape)
+
+    def _sch_prolong(self, lvf, sch, fac, gamma, uc, pair):
+        rhs = self._prolong_std(pair, uc)
+        b = sch["zmask"] * self._apply_gd(lvf, gamma, rhs)
+        tildeu = self._patch_apply(lvf, sch, fac, b.reshape(-1), b.dtype)
+        return rhs - tildeu
+
+    def _sch_restrict(self, lvf, lvc, sch, fac, gamma, rf, pair,
+                      ownerw_f):
+        t = self._patch_apply(lvf, sch, fac,
+                              (sch["zmask"] * rf).reshape(-1), rf.dtype)
+        b = self._apply_gd(lvf, gamma, t)
+        return self._prolong_std_T(pair, lvc, ownerw_f, rf - b)
+
+    # ------------------------------------------------------------------
+    # device: the MG cycle (mirrors mg/velocity.py on local arrays)
+    # ------------------------------------------------------------------
+    def _mg_setup(self, loc, u_fine, params):
+        nl = self.nlevels
+        winds = [None] * nl
+        winds[-1] = u_fine
+        for l in range(nl - 2, -1, -1):
+            winds[l] = self._inject(loc["inj"][l], winds[l + 1])
+        tensors = [
+            self._tensors(loc["lev"][l], self.vmg.levels[l].form,
+                          winds[l], params)
+            for l in range(nl)
+        ]
+        patch_facs = [
+            self._patch_factor(loc["patch"][l - 1], tensors[l],
+                               self._patch_meta[l - 1][0])
+            for l in range(1, nl)
+        ]
+        # replicated dense coarse factorisation (telescope analogue)
+        lv0 = loc["lev"][0]
+        N0d = self.N0d
+        T0 = jnp.where(lv0["owned"][:, None, None], tensors[0], 0.0)
+        rows = loc["coarse"]["rows"]
+        A = jnp.zeros((N0d + 1, N0d + 1), dtype=T0.dtype)
+        A = A.at[rows[:, :, None], rows[:, None, :]].add(T0)
+        A = lax.psum(A[:N0d, :N0d], self.axis)
+        m0 = self._mask0_flat
+        A = m0[:, None] * A * m0[None, :] + jnp.diag(1.0 - m0)
+        coarse_fac = self.fs.factor(A)
+        return dict(tensors=tensors, patch_facs=patch_facs,
+                    coarse_fac=coarse_fac)
+
+    def _coarse_solve(self, loc, state, r):
+        lv0 = loc["lev"][0]
+        gflat = loc["coarse"]["gflat"]
+        N0d = self.N0d
+        rg = jnp.zeros((N0d + 1,), dtype=r.dtype)
+        rg = rg.at[gflat].add(r * lv0["ownerw"])
+        rg = lax.psum(rg[:N0d], self.axis)
+        x = self.fs.solve(state["coarse_fac"], rg)
+        xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        xl = xp[jnp.where(gflat < N0d, gflat, N0d)]
+        mask = lv0["mask"]
+        return mask * xl + (1.0 - mask) * r
+
+    def _smooth(self, loc, state, l, b, x0):
+        lv = loc["lev"][l]
+        T = state["tensors"][l]
+        pc = self._patch_pc(lv, loc["patch"][l - 1],
+                            state["patch_facs"][l - 1])
+        ctx = ShardDotContext(lv["ownerw"], self.axis)
+
+        def A(v):
+            return self._level_matvec(lv, T, v)
+
+        m = self.solver.smoothing
+        x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0, maxit=m,
+                      restart=m, ctx=ctx)
+        return x
+
+    def _prolong_mg(self, loc, tstate, l, xc):
+        pair = loc["pro"][l]
+        lvf = loc["lev"][l + 1]
+        xf = self._sch_prolong(
+            lvf, loc["sch"][l], tstate[l]["fac"], tstate[l]["gamma"],
+            xc, pair)
+        return lvf["mask"] * xf
+
+    def _restrict_mg(self, loc, tstate, l, rf):
+        pair = loc["pro"][l]
+        lvc, lvf = loc["lev"][l], loc["lev"][l + 1]
+        if self.vmg.schoeberl_restriction:
+            rc = self._sch_restrict(
+                lvf, lvc, loc["sch"][l], tstate[l]["fac"],
+                tstate[l]["gamma"], rf, pair, lvf["ownerw"])
+        else:
+            rc = self._prolong_std_T(pair, lvc, lvf["ownerw"], rf)
+        return lvc["mask"] * rc
+
+    def _vcycle(self, loc, state, tstate, l, b, x0):
+        if l == 0:
+            return self._coarse_solve(loc, state, b)
+        x = self._smooth(loc, state, l, b, x0)
+        r = b - self._level_matvec(loc["lev"][l], state["tensors"][l], x)
+        rc = self._restrict_mg(loc, tstate, l - 1, r)
+        xc = self._vcycle(loc, state, tstate, l - 1, rc,
+                          jnp.zeros_like(rc))
+        x = x + self._prolong_mg(loc, tstate, l - 1, xc)
+        return self._smooth(loc, state, l, b, x)
+
+    def _fmg(self, loc, state, tstate, b):
+        nl = self.nlevels
+        bs = [None] * nl
+        bs[-1] = b
+        for l in range(nl - 2, -1, -1):
+            bs[l] = self._restrict_mg(loc, tstate, l, bs[l + 1])
+        x = self._coarse_solve(loc, state, bs[0])
+        for l in range(1, nl):
+            x = self._prolong_mg(loc, tstate, l - 1, x)
+            x = self._vcycle(loc, state, tstate, l, bs[l], x)
+        return x
+
+    # ------------------------------------------------------------------
+    # device: mixed residual / Schur PC on local arrays
+    # ------------------------------------------------------------------
+    def _mixed_residual(self, loc, z, params):
+        form = self.solver.form
+        lv = loc["lev"][-1]
+        mix = loc["mix"]
+        u, p = z
+        mco = mix["validq"].shape[0]
+        lcd_o = lv["lcd"][:mco]
+        u_cells = u[lcd_o]
+        rv, rq = jax.vmap(
+            lambda ul, pl, ji, dj, vo, x: form.cell_residual(
+                ul, pl, ji, dj, vo, x, params)
+        )(u_cells, p, lv["jinv"][:mco], lv["detj"][:mco],
+          lv["vol"][:mco], mix["xq"])
+        live = mix["validq"][:, :1]  # (mco, 1)
+        rv = jnp.where(live[:, :, None], rv, 0.0)
+        rq = jnp.where(mix["validq"], rq, 0.0)
+        L1d = u.shape[0] * u.shape[1]
+        Rv = jnp.zeros((L1d,), dtype=u.dtype)
+        Rv = Rv.at[lv["rows"][:mco]].add(
+            rv.reshape(mco, -1)).reshape(u.shape)
+        Rv = self._exchange(lv, Rv)
+        return (Rv, rq)
+
+    def _residual_masked(self, loc, z, params):
+        lv = loc["lev"][-1]
+        Rv, Rq = self._mixed_residual(loc, z, params)
+        return (lv["mask"] * Rv, loc["mix"]["pmask"] * Rq)
+
+    def _apply_divergence(self, loc, t):
+        form = self.solver.form
+        tv, tq = form.tab_v, form.tab_q
+        lv = loc["lev"][-1]
+        mix = loc["mix"]
+        mco = mix["validq"].shape[0]
+        u_cells = t[lv["lcd"][:mco]]
+        gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, lv["jinv"][:mco],
+                        u_cells)
+        divu = jnp.einsum("cqii->cq", gu)
+        wdet = tv.w[None, :] * lv["detj"][:mco][:, None]
+        rq = -jnp.einsum("cq,cq,ql->cl", wdet, divu, tq.phi)
+        return jnp.where(mix["validq"], rq, 0.0)
+
+    def _apply_pressure_gradient(self, loc, p):
+        form = self.solver.form
+        tv, tq = form.tab_v, form.tab_q
+        lv = loc["lev"][-1]
+        mix = loc["mix"]
+        mco = mix["validq"].shape[0]
+        p_q = jnp.einsum("ql,cl->cq", tq.phi, p)
+        gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, lv["jinv"][:mco])
+        wdet = tv.w[None, :] * lv["detj"][:mco][:, None]
+        rv = -jnp.einsum("cq,cq,cqld->cld", wdet, p_q, gtest)
+        rv = jnp.where(mix["validq"][:, :1][:, :, None], rv, 0.0)
+        u = jnp.zeros((lv["mask"].shape[0] * self.d,), dtype=p.dtype)
+        u = u.at[lv["rows"][:mco]].add(rv.reshape(mco, -1))
+        return self._exchange(lv, u.reshape(lv["mask"].shape))
+
+    def _pressure_massinv(self, loc, s):
+        return jnp.einsum("clm,cm->cl", loc["mix"]["minv"], s)
+
+    def _pressure_mean_project(self, loc, z):
+        """Remove the constant-pressure mode (Euclidean, matching the
+        single-device projector)."""
+        u, p = z
+        mix = loc["mix"]
+        tot = lax.psum(jnp.sum(jnp.where(mix["validq"], p, 0.0)),
+                       self.axis)
+        mean = tot / float(self._q_total)
+        p = jnp.where(mix["validq"], p - mean, 0.0)
+        return (u, p)
+
+    # ------------------------------------------------------------------
+    # step functions (jit + shard_map)
+    # ------------------------------------------------------------------
+    def _annotate_ns(self, loc_view):
+        """Attach the static shared-buffer sizes to the level dicts (the
+        device code reads them as Python ints)."""
+        for l, lv in enumerate(loc_view["lev"]):
+            lv["sslot_ns"] = self.levs[l].ns
+
+    def _build_step_functions(self):
+        axis = self.axis
+        mesh = self.mesh
+        solver = self.solver
+        tol = solver.tolerances
+        spec_b = P(axis)
+        spec_r = P()
+        has_nsp = solver.nsp
+        d = self.d
+        Lf = self.levs[-1].L
+
+        def strip(tree):
+            return jax.tree.map(lambda a: a[0], tree)
+
+        # ----- transfer setup (per-Re Schoeberl factorisations) -----
+        def tsetup_body(loc, params):
+            loc = strip(loc)
+            self._annotate_ns(loc)
+            out = []
+            for l in range(self.nlevels - 1):
+                form = self.vmg.levels[l + 1].form
+                lvf = loc["lev"][l + 1]
+                params_a = dict(params)
+                params_a["advect"] = jnp.zeros_like(params["advect"])
+                zero_w = jnp.zeros_like(lvf["mask"])
+                T = self._tensors(lvf, form, zero_w, params_a)
+                m = self.vmg.schoeberl[l].patchset.m
+                fac = self._patch_factor(loc["sch"][l], T, m)
+                out.append(dict(fac=fac, gamma=params["gamma"]))
+            return jax.tree.map(lambda a: a[None], out)
+
+        def lin_body(loc, z, F, params, tstate):
+            loc, z, F = strip(loc), strip(z), strip(F)
+            tstate = strip(tstate)
+            self._annotate_ns(loc)
+            lvf = loc["lev"][-1]
+            mix = loc["mix"]
+
+            state = self._mg_setup(loc, z[0], params)
+
+            def solve_A(rv):
+                return self._fmg(loc, state, tstate, rv)
+
+            mask_u = lvf["mask"]
+            minvscale = -(params["nu"] + params["gamma"])
+
+            def pc(r):
+                rv, rq = r
+                t = solve_A(mask_u * rv)
+                s = rq - self._apply_divergence(loc, t)
+                p = minvscale * self._pressure_massinv(loc, s)
+                w = mask_u * self._apply_pressure_gradient(loc, p)
+                u = t - solve_A(w)
+                return (u, p)
+
+            # Jacobian action: jvp of the local residual (the psum
+            # exchanges are linear, so this matches the global Jacobian)
+            def res(zz):
+                return self._mixed_residual(loc, zz, params)
+
+            _, jvp = jax.linearize(res, z)
+            pmask = mix["pmask"]
+
+            def zero(v):
+                return (mask_u * v[0], pmask * v[1])
+
+            def identity_rows(r, v):
+                return (mask_u * r[0] + (1.0 - mask_u) * v[0],
+                        pmask * r[1] + (1.0 - pmask) * v[1])
+
+            def J(v):
+                Jv = jvp(zero(v))
+                return identity_rows((mask_u * Jv[0], pmask * Jv[1]), v)
+
+            project = (
+                (lambda zz: self._pressure_mean_project(loc, zz))
+                if has_nsp else None)
+            weight = (lvf["ownerw"],
+                      mix["validq"].astype(real_dtype))
+            ctx = ShardDotContext(weight, axis)
+            mF = (-F[0], -F[1])
+            dz, info = fgmres(
+                J, mF, pc=pc, rtol=tol["ksp_rtol"], atol=tol["ksp_atol"],
+                maxit=500, restart=30, project=project, ctx=ctx)
+            dz = zero(dz)
+            return (jax.tree.map(lambda a: a[None], dz),
+                    info["iters"][None])
+
+        def res_body(loc, z, params):
+            loc, z = strip(loc), strip(z)
+            self._annotate_ns(loc)
+            F = self._residual_masked(loc, z, params)
+            lvf = loc["lev"][-1]
+            weight = (lvf["ownerw"],
+                      loc["mix"]["validq"].astype(real_dtype))
+            ctx = ShardDotContext(weight, self.axis)
+            fnorm = ctx.norm(F)
+            return jax.tree.map(lambda a: a[None], F), fnorm[None]
+
+        def norms_body(loc, a, b):
+            loc, a, b = strip(loc), strip(a), strip(b)
+            self._annotate_ns(loc)
+            lvf = loc["lev"][-1]
+            weight = (lvf["ownerw"],
+                      loc["mix"]["validq"].astype(real_dtype))
+            ctx = ShardDotContext(weight, self.axis)
+            return ctx.norm(a)[None], ctx.norm(b)[None]
+
+        from jax import shard_map
+
+        self._tsetup_sm = jax.jit(shard_map(
+            tsetup_body, mesh=mesh, in_specs=(spec_b, spec_r),
+            out_specs=spec_b, check_vma=False))
+        self._lin_sm = jax.jit(shard_map(
+            lin_body, mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_b, spec_r, spec_b),
+            out_specs=(spec_b, spec_b), check_vma=False))
+        self._res_sm = jax.jit(shard_map(
+            res_body, mesh=mesh, in_specs=(spec_b, spec_b, spec_r),
+            out_specs=(spec_b, spec_b), check_vma=False))
+        self._norms_sm = jax.jit(shard_map(
+            norms_body, mesh=mesh, in_specs=(spec_b, spec_b, spec_b),
+            out_specs=(spec_b, spec_b), check_vma=False))
+
+    # ------------------------------------------------------------------
+    # host API
+    # ------------------------------------------------------------------
+    def transfer_setup(self, params):
+        return self._tsetup_sm(self.loc, params)
+
+    def residual(self, z, params):
+        """(F, fnorm) with F local-sharded and fnorm replicated."""
+        F, fnorm = self._res_sm(self.loc, z, params)
+        return F, float(np.asarray(fnorm)[0])
+
+    def linear_step(self, z, F, params, tstate):
+        dz, its = self._lin_sm(self.loc, z, F, params, tstate)
+        return dz, int(np.asarray(its)[0])
+
+    def newton_step(self, z, params, tstate=None):
+        """One full Newton step (residual + almg-FGMRES solve + update)
+        of the flagship solver, entirely distributed."""
+        if tstate is None:
+            tstate = self.transfer_setup(params)
+        F, _ = self._res_sm(self.loc, z, params)
+        dz, its = self.linear_step(z, F, params, tstate)
+        z = jax.tree.map(jnp.add, z, dz)
+        return z, its
+
+    def solve(self, re):
+        """Reynolds-continuation solve on the distributed state, mirroring
+        NavierStokesSolver.solve (host Newton loop, device steps)."""
+        solver = self.solver
+        solver.z_last = solver.z
+        if re == 0:
+            solver.advect_val = 0.0
+            solver.nu_val = solver.char_L * solver.char_U
+        else:
+            solver.advect_val = 1.0
+            solver.nu_val = solver.char_L * solver.char_U / re
+        params = solver.params()
+        params.pop("wind", None)
+        z, _ = self.shard_state(solver.z, params)
+        tstate = self.transfer_setup(params)
+        tol = solver.tolerances
+        F, fnorm = self.residual(z, params)
+        fnorm0 = fnorm
+        total_lin = 0
+        nit = 0
+        converged, reason = fnorm <= tol["snes_atol"], "atol"
+        while not converged and nit < 20:
+            dz, its = self.linear_step(z, F, params, tstate)
+            total_lin += its
+            z = jax.tree.map(jnp.add, z, dz)
+            nit += 1
+            F, fnorm = self.residual(z, params)
+            if not np.isfinite(fnorm):
+                converged, reason = False, "diverged_fnorm_nan"
+                break
+            if fnorm <= tol["snes_atol"]:
+                converged, reason = True, "atol"
+                break
+            if fnorm <= tol["snes_rtol"] * fnorm0:
+                converged, reason = True, "rtol"
+                break
+            sn, zn = self._norms_sm(self.loc, dz, z)
+            if float(np.asarray(sn)[0]) <= tol["snes_stol"] * float(
+                    np.asarray(zn)[0]):
+                converged, reason = True, "stol"
+                break
+        else:
+            if not converged:
+                reason = "max_it"
+        solver.z = self.gather_state(z)
+        info = {
+            "Re": re, "nu": solver.nu_val, "linear_iter": total_lin,
+            "nonlinear_iter": nit, "converged": bool(converged),
+            "reason": reason,
+        }
+        return solver.z, info
+
+    # ---------------- state movement ----------------
+    def shard_state(self, z, params=None):
+        """Global (u, p) -> block-local sharded arrays."""
+        levf = self.levs[-1]
+        u, p = np.asarray(z[0]), np.asarray(z[1])
+        nb, L, d = self.nb, levf.L, self.d
+        ub = np.zeros((nb, L + 1, d))
+        for b in range(nb):
+            v = levf.valid[b]
+            ub[b, :L][v] = u[levf.gdofs[b][v]]
+        mco = levf.mco
+        qd = np.asarray(self.loc["mix"]["qd"])
+        live = qd >= 0
+        pb = np.where(live, p[np.clip(qd, 0, None)], 0.0)
+        sh = NamedSharding(self.mesh, P(self.axis))
+        zs = (jax.device_put(jnp.asarray(ub, dtype=real_dtype), sh),
+              jax.device_put(jnp.asarray(pb, dtype=real_dtype), sh))
+        if params is None:
+            return zs
+        rep = NamedSharding(self.mesh, P())
+        pr = {k: jax.device_put(jnp.asarray(v), rep)
+              for k, v in params.items()}
+        return zs, pr
+
+    def gather_state(self, z):
+        """Block-local sharded arrays -> global (u, p)."""
+        levf = self.levs[-1]
+        ub = np.asarray(z[0])
+        pb = np.asarray(z[1])
+        V = self.solver.Z.V
+        Q = self.solver.Z.Q
+        u = np.zeros((V.ndof, self.d))
+        for b in range(self.nb):
+            own = levf.owner[b]
+            u[levf.gdofs[b][own]] = ub[b, : levf.L][own]
+        p = np.zeros((Q.ndof,))
+        qd = np.asarray(self.loc["mix"]["qd"])
+        live = qd >= 0
+        for b in range(self.nb):
+            p[qd[b][live[b]]] = pb[b][live[b]]
+        return (jnp.asarray(u, dtype=real_dtype),
+                jnp.asarray(p, dtype=real_dtype))

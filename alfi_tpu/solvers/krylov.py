@@ -45,6 +45,56 @@ def _identity_pc(x):
     return x
 
 
+class DotContext:
+    """Inner-product context for the Krylov loops.
+
+    The default is the plain single-program inner product; the
+    shard_map-distributed solver passes an owner-weighted psum variant
+    (parallel/distributed.py) so the SAME fgmres/cg implementation runs
+    per-block with the reference's MPI-allreduce dot semantics
+    (SURVEY.md §5.8)."""
+
+    def dot(self, a, b):
+        return tdot(a, b)
+
+    def norm(self, a):
+        return tnorm(a)
+
+    def buf_dots(self, buf, w, j, n):
+        return _buf_dots(buf, w, j, n)
+
+
+class ShardDotContext(DotContext):
+    """Owner-weighted dots with a psum over the device-mesh axis: every
+    replicated (interface/halo) dof is counted once, matching the global
+    inner product bit-for-bit up to summation order."""
+
+    def __init__(self, weight, axis):
+        #: pytree of 0/1 owner weights matching the vector pytrees
+        self.weight = weight
+        self.axis = axis
+
+    def dot(self, a, b):
+        loc = sum(
+            jax.tree.leaves(
+                jax.tree.map(lambda w, x, y: jnp.sum(w * x * y),
+                             self.weight, a, b)))
+        return lax.psum(loc, self.axis)
+
+    def norm(self, a):
+        return jnp.sqrt(self.dot(a, a))
+
+    def buf_dots(self, buf, w, j, n):
+        dots = sum(
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda b, ww, wt: jnp.tensordot(
+                        b.reshape(n, -1), (wt * ww).reshape(-1), axes=1),
+                    buf, w, self.weight)))
+        dots = lax.psum(dots, self.axis)
+        return jnp.where(jnp.arange(n) < j, dots, 0.0)
+
+
 def _buf_dots(buf, w, j, n):
     """dots[i] = <buf[i], w> for i < j else 0 — one batched reduction."""
     dots = sum(
@@ -69,7 +119,7 @@ def _buf_axpy(buf, coef, w):
 
 
 def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
-           restart=30, project=None):
+           restart=30, project=None, ctx=None):
     """Right-preconditioned flexible GMRES.
 
     Parameters
@@ -89,6 +139,8 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         pc = _identity_pc
     if project is None:
         project = _identity_pc
+    if ctx is None:
+        ctx = DotContext()
     if x0 is None:
         x0 = tzeros_like(b)
     b = project(b)
@@ -98,20 +150,20 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         return project(A(v))
 
     r0 = tsub(b, opA(x0))
-    rnorm0 = tnorm(r0)
+    rnorm0 = ctx.norm(r0)
     target = jnp.maximum(rtol * rnorm0, atol)
 
     def cgs2(V, w, j):
         """Classical Gram-Schmidt with one re-orthogonalisation pass."""
-        h1 = _buf_dots(V, w, j, m + 1)
+        h1 = ctx.buf_dots(V, w, j, m + 1)
         w = _buf_axpy(V, h1, w)
-        h2 = _buf_dots(V, w, j, m + 1)
+        h2 = ctx.buf_dots(V, w, j, m + 1)
         w = _buf_axpy(V, h2, w)
         return w, h1 + h2
 
     def cycle(x, total_it):
         r = tsub(b, opA(x))
-        beta = tnorm(r)
+        beta = ctx.norm(r)
         V = tstack_zeros(b, m + 1)
         V = tset(V, 0, tscale(1.0 / (beta + _EPS), r))
         Z = tstack_zeros(b, m)
@@ -130,7 +182,7 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
             Z = tset(Z, j, z)
             w = opA(z)
             w, h = cgs2(V, w, j + 1)  # orthogonalise against V[0..j]
-            hj1 = tnorm(w)
+            hj1 = ctx.norm(w)
             V = tset(V, j + 1, tscale(1.0 / (hj1 + _EPS), w))
             # apply stored Givens rotations to the new column h[0..j]
             def rot(i, hcol):
@@ -196,7 +248,7 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
 
 
 def cg(A, b, pc=None, x0=None, rtol=1e-8, atol=1e-50, maxit=200,
-       project=None):
+       project=None, ctx=None):
     """Preconditioned CG with unpreconditioned-norm convergence test
     (``ksp_norm_type unpreconditioned`` of
     /root/reference/examples/graddiv/graddiv.py:90-96)."""
@@ -204,15 +256,17 @@ def cg(A, b, pc=None, x0=None, rtol=1e-8, atol=1e-50, maxit=200,
         pc = _identity_pc
     if project is None:
         project = _identity_pc
+    if ctx is None:
+        ctx = DotContext()
     if x0 is None:
         x0 = tzeros_like(b)
     b = project(b)
     r = tsub(b, project(A(x0)))
-    rnorm0 = tnorm(r)
+    rnorm0 = ctx.norm(r)
     target = jnp.maximum(rtol * rnorm0, atol)
     z = pc(r)
     p = z
-    rz = tdot(r, z)
+    rz = ctx.dot(r, z)
 
     def cond(state):
         x, r, p, rz, it, rnorm = state
@@ -221,14 +275,14 @@ def cg(A, b, pc=None, x0=None, rtol=1e-8, atol=1e-50, maxit=200,
     def body(state):
         x, r, p, rz, it, rnorm = state
         Ap = project(A(p))
-        alpha = rz / (tdot(p, Ap) + _EPS)
+        alpha = rz / (ctx.dot(p, Ap) + _EPS)
         x = taxpy(alpha, p, x)
         r = taxpy(-alpha, Ap, r)
         z = pc(r)
-        rz_new = tdot(r, z)
+        rz_new = ctx.dot(r, z)
         beta = rz_new / (rz + _EPS)
         p = taxpy(beta, p, z)
-        return x, r, p, rz_new, it + 1, tnorm(r)
+        return x, r, p, rz_new, it + 1, ctx.norm(r)
 
     x, r, p, rz, iters, rnorm = lax.while_loop(
         cond, body, (x0, r, p, rz, jnp.asarray(0), rnorm0)
@@ -253,13 +307,13 @@ def richardson(A, b, pc, x0=None, maxit=1, scale=1.0):
     return lax.fori_loop(0, maxit, body, x0)
 
 
-def fixed_fgmres(A, b, pc, maxit, x0=None):
+def fixed_fgmres(A, b, pc, maxit, x0=None, ctx=None):
     """FGMRES with a fixed iteration count and no convergence test — the
     reference's MG level smoother driver (``ksp_convergence_test skip``,
     ``ksp_max_it`` = smoothing, /root/reference/alfi/solver.py:311-317).
     maxit is a Python int (compile-time constant), so buffers are exact."""
     x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0, maxit=maxit,
-                  restart=maxit)
+                  restart=maxit, ctx=ctx)
     return x
 
 
@@ -267,8 +321,10 @@ def chebyshev(A, b, pc, x0=None, maxit=2, lmin=None, lmax=None,
               eig_scale=(0.1, 1.1)):
     """Chebyshev smoother (graddiv harness jacobi branch,
     /root/reference/examples/graddiv/graddiv.py:99-111).  Eigenvalue bounds
-    (for the preconditioned operator) must be supplied; the usual PETSc
-    factors (0.3, 1.1) are applied to lmax if lmin is None."""
+    (for the preconditioned operator) must be supplied; when lmin is None
+    the bounds are (0.1*lmax, 1.1*lmax) — deliberately wider at the low
+    end than PETSc's (0.3, 1.1) because our power-iteration lmax estimate
+    is looser than PETSc's GMRES-based esteig (docs/DESIGN.md)."""
     if x0 is None:
         x0 = tzeros_like(b)
     if lmin is None:
