@@ -117,6 +117,14 @@ def run_solver(solver, res, args):
                 import jax.numpy as jnp
 
                 solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
+            # restored from checkpoint: record a placeholder info dict so
+            # downstream table extraction (examples/iters.py) never
+            # KeyErrors on resumed runs
+            results[re] = {
+                "Re": re, "nu": None, "linear_iter": 0,
+                "nonlinear_iter": 0, "time": 0.0, "converged": True,
+                "checkpointed": True,
+            }
         except (FileNotFoundError, OSError, KeyError):
             z, info_dict = solver.solve(re)
             results[re] = info_dict

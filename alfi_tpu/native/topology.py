@@ -1,12 +1,16 @@
 """ctypes loader + numpy fallbacks for the native topology kernels.
 
-The shared library is compiled on first use (g++ -shared -fPIC -O2) and
-cached next to this file; environments without a toolchain silently use
-the numpy/python fallbacks (identical results, slower on large meshes)."""
+The shared library is compiled on first use (g++ -shared -fPIC -O2) into
+a filename keyed by the SHA-256 of topology.cpp, so a stale or tampered
+binary can never be preferred over the checked-in source (binaries are
+never committed — see .gitignore); environments without a toolchain
+silently use the numpy/python fallbacks (identical results, slower on
+large meshes)."""
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -14,9 +18,14 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "topology.cpp")
-_LIB = os.path.join(_HERE, "_topology.so")
 _lib = None
 _tried = False
+
+
+def _lib_path():
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_topology_{h}.so")
 
 
 def _load():
@@ -25,13 +34,13 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        path = _lib_path()
+        if not os.path.exists(path):
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _LIB, _SRC],
+                 "-o", path, _SRC],
                 check=True, capture_output=True)
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(path)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.greedy_color.restype = ctypes.c_int64
         lib.greedy_color.argtypes = [ctypes.c_int64, ctypes.c_int64,

@@ -175,11 +175,14 @@ class DistributedResidual:
 
         axis = self.mesh_axis
         ns, L, d = self.ns, self.L, self.d
+        from ..config import real_dtype
+
         Tb = self.block_tensors(tensors)
         maskb = self.block_masks()
         ownerw = jnp.concatenate(
-            [self.owner.astype(jnp.float64),
-             jnp.zeros((self.nb, 1))], axis=1)[..., None]
+            [self.owner.astype(real_dtype),
+             jnp.zeros((self.nb, 1), dtype=real_dtype)],
+            axis=1)[..., None]
 
         def kernel(b_loc, Tb, maskb, ownerw, lcd, dead, lidx, sslot):
             b_loc, Tb, maskb, ownerw = b_loc[0], Tb[0], maskb[0], ownerw[0]

@@ -4,11 +4,12 @@ stabilisation (Scott-Vogelius).
 Re-design of /root/reference/alfi/stabilisation.py + its wiring in
 /root/reference/alfi/solver.py:202-237.  Semantics preserved exactly:
 
-* the stabilisation COEFFICIENT beta and the strong residual Lu use the
-  LIVE state u (state=u in the reference -> differentiable, enters the
-  Newton Jacobian via jvp),
-* the test-function advection direction in Lv / (grad v) w uses the
-  FROZEN wind = velocity of the previous Reynolds solution (z_last),
+* the stabilisation COEFFICIENT beta, the strong residual Lu AND the
+  SUPG test direction (grad v) w use the LIVE state u (the reference
+  constructs SUPG with state=u, so self.wind IS u -> differentiable,
+  enters the Newton Jacobian via jvp),
+* only GLS's Lv advection uses the FROZEN wind = velocity of the
+  previous Reynolds solution (z_last, /root/reference/alfi/solver.py:205,216),
   passed in through params["wind"],
 * the whole term is multiplied by ``advect`` (vanishes for Stokes),
 * Shakib-Hughes-Zohan coefficient
@@ -86,20 +87,25 @@ class ShakibSUPG:
     def residual(self, z, params):
         form = self.form
         tv = form.tab_v
-        wind = params["wind"]
-        w_loc = wind[jnp.asarray(form.V.cell_dofs)]
-        w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
         u_q, gu, Lu = self._strong_terms(z, params)
         beta = self._beta(u_q, params)
         wdet = tv.w[None, :] * form.geom.detj[:, None]
         coef = self.weight * wdet * beta  # (nc, nq)
         jinv = form.geom.jinv
         gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
-        # (grad v) w direction for the test function
-        adv_test = jnp.einsum("cqlj,cqj->cql", gtest, w_q)
+        # SUPG test direction (grad v) w uses the LIVE state (the
+        # reference's SUPG.form has w = self.wind = u, state=u at
+        # /root/reference/alfi/solver.py:208-211)
+        adv_test = jnp.einsum("cqlj,cqj->cql", gtest, u_q)
         rv_loc = jnp.einsum("cq,cqi,cql->cli", coef, Lu, adv_test)
         rq_loc = None
         if self.mode == "gls":
+            # GLS's Lv advects the test function with the FROZEN wind
+            # (z_last, /root/reference/alfi/solver.py:205,216)
+            wind = params["wind"]
+            w_loc = wind[jnp.asarray(form.V.cell_dofs)]
+            w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
+            adv_test = jnp.einsum("cqlj,cqj->cql", gtest, w_q)
             # Lv for v = phi_l e_i:
             #   (div 2 sym grad v)_j = delta_ij lap phi_l + d_i d_j phi_l
             #   ((grad v) w)_j       = delta_ij (grad phi_l . w)
