@@ -68,7 +68,7 @@ class NavierStokesSolver:
                  restriction=False, smoothing=None,
                  rebalance_vertices=False, hierarchy_callback=None,
                  high_accuracy=False, verbose=True):
-        assert solver_type in {"almg", "allu", "lu", "simple"}, (
+        assert solver_type in {"almg", "allu", "lu", "simple", "lsc"}, (
             "Invalid solver type %s" % solver_type)
         if stabilisation_type == "none":
             stabilisation_type = None
@@ -106,9 +106,9 @@ class NavierStokesSolver:
         self.char_L = problem.char_length()
         self.char_U = problem.char_velocity()
         self.gamma = float(gamma)
-        if solver_type == "simple":
-            # the non-AL baseline runs without grad-div augmentation
-            # (/root/reference/alfi/solver.py:128-130)
+        if solver_type in ("simple", "lsc"):
+            # the non-AL baselines run without grad-div augmentation
+            # (/root/reference/alfi/solver.py:127-128)
             if self.verbose:
                 print("Setting gamma to 0")
             self.gamma = 0.0
@@ -279,12 +279,20 @@ class NavierStokesSolver:
             self._linear_step = self._build_almg_step(
                 project, transfer_mode="standard", smoother="jacobi",
                 smoother_driver="chebyshev", cycle="v")
+        elif self.solver_type == "lsc":
+            # the standard non-AL competitor (the papers' core contrast):
+            # gamma=0, velocity block by one jacobi-chebyshev V-cycle
+            # (hypre-preonly analogue), Schur by the Least-Squares
+            # Commutator (/root/reference/alfi/solver.py:447-460)
+            self._linear_step = self._build_almg_step(
+                project, transfer_mode="standard", smoother="jacobi",
+                smoother_driver="chebyshev", cycle="v", schur="lsc")
         else:
             raise NotImplementedError(self.solver_type)
 
     def _build_almg_step(self, project, transfer_mode="schoeberl",
                          smoother="patch", smoother_driver="fgmres",
-                         cycle="full"):
+                         cycle="full", schur="massinv"):
         from .mg.velocity import VelocityMG
 
         self.vmg = VelocityMG(self, transfer_mode=transfer_mode,
@@ -295,6 +303,7 @@ class NavierStokesSolver:
         tol = self.tolerances
         mask_u = bcset.mask[0]
         vmg = self.vmg
+        has_nsp = self.nsp
 
         self._transfer_setup = jax.jit(vmg.transfer_setup)
 
@@ -302,7 +311,19 @@ class NavierStokesSolver:
         def lin(z, F, params, tstate):
             state = vmg.setup(z[0], params, schoeberl_state=tstate)
             solve_A = vmg.make_solve_A(state)
-            pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+            if schur == "lsc":
+                from .solvers.fieldsplit import LSCSchurPC
+
+                L = vmg.nlevels - 1
+                tensors = state["tensors"][L]
+
+                def apply_A(v):
+                    return vmg.level_apply(L, tensors, v)
+
+                pc = LSCSchurPC(form, mask_u, solve_A, apply_A,
+                                has_nsp).make_apply(params)
+            else:
+                pc = SchurPC(form, mask_u, solve_A).make_apply(params)
             J = make_jacobian_matvec(form.residual, bcset, z, params)
             dz, info = fgmres(
                 J, tscale(-1.0, F), pc=pc, rtol=tol["ksp_rtol"],
@@ -314,6 +335,93 @@ class NavierStokesSolver:
             return lin(z, F, params, tstate)
 
         return lin_wrapped
+
+    # ------------------------------------------------------------------
+    def setup_adjoint(self, functional):
+        """Adjoint solver for a scalar functional J(z)
+        (/root/reference/alfi/solver.py:520-535: the reference forms
+        L = F·z_adj + J and solves derivative(L, z) = 0, i.e. the linear
+        adjoint system F_z(z)^T z_adj = -dJ/dz with homogenised BCs,
+        reusing the solver parameters and transfer machinery).
+
+        ``functional``: scalar pytree -> float, e.g. lambda z: drag(z).
+        Call :meth:`solve_adjoint` after a forward solve.  The transposed
+        Jacobian action comes from ``jax.linear_transpose`` of the same
+        masked matvec the forward solve uses; the preconditioner is the
+        forward-mode PC (a legal FGMRES preconditioner for J^T — iteration
+        counts may differ slightly from preconditioning with the exact
+        transpose, which PETSc assembles)."""
+        self._adjoint_functional = functional
+
+    def solve_adjoint(self):
+        """Solve the adjoint system at the current state; returns
+        (z_adj, info_dict).  Requires :meth:`setup_adjoint` first."""
+        functional = getattr(self, "_adjoint_functional", None)
+        if functional is None:
+            raise RuntimeError("call setup_adjoint(functional) first")
+        params = self.params()
+        z = self.z
+        bcset, form, Z = self.bcset, self.form, self.Z
+        tol = self.tolerances
+        project = pressure_nullspace_projector(Z) if self.nsp else None
+
+        # homogenised adjoint rhs: -dJ/dz, zero at BC dofs
+        rhs = bcset.zero(jax.grad(functional)(z))
+        if project is not None:
+            rhs = project(rhs)
+
+        fwd = make_jacobian_matvec(form.residual, bcset, z, params)
+        transpose = jax.linear_transpose(fwd, rhs)
+
+        def JT(v):
+            (out,) = transpose(v)
+            return out
+
+        start = _time.perf_counter()
+        if self.solver_type == "lu":
+            A = assemble_dense_mixed(form, z, params, bcset)
+            solve = refined_lu_solve_closure(
+                A.T, rtol=min(tol["ksp_rtol"], 1e-12))
+            z_adj = bcset.zero(
+                unflatten_mixed(solve(tscale(-1.0, flatten_mixed(rhs))),
+                                Z))
+            iters = 1
+        else:
+            tstate = (self._transfer_setup(params)
+                      if getattr(self, "_transfer_setup", None) is not None
+                      else None)
+            pc = self._make_adjoint_pc(z, params, tstate)
+            z_adj, info = fgmres(
+                JT, tscale(-1.0, rhs), pc=pc, rtol=tol["ksp_rtol"],
+                atol=tol["ksp_atol"], maxit=500, restart=30,
+                project=project)
+            z_adj = bcset.zero(z_adj)
+            iters = int(info["iters"])
+        elapsed = _time.perf_counter() - start
+        if self.nsp:
+            u, p = z_adj
+            z_adj = (u, p - jnp.mean(p))
+        self.z_adj = z_adj
+        self.message(GREEN % (
+            "Adjoint solve in %d Krylov iterations (%.2f s)"
+            % (iters, elapsed)))
+        return z_adj, {"linear_iter": iters, "time": elapsed / 60.0}
+
+    def _make_adjoint_pc(self, z, params, tstate):
+        """The forward-mode Schur PC at the current state (reference:
+        same solver parameters on the adjoint problem)."""
+        mask_u = self.bcset.mask[0]
+        if self.solver_type == "allu":
+            Av = assemble_dense_velocity(self.form, z[0], params, mask_u)
+            flat_solve = refined_lu_solve_closure(Av.T, rtol=1e-10)
+            d = self.tdim
+
+            def solve_A(rv):
+                return flat_solve(rv.reshape(-1)).reshape(-1, d)
+        else:
+            state = self.vmg.setup(z[0], params, schoeberl_state=tstate)
+            solve_A = self.vmg.make_solve_A(state)
+        return SchurPC(self.form, mask_u, solve_A).make_apply(params)
 
     # ------------------------------------------------------------------
     def message(self, msg):

@@ -60,6 +60,62 @@ class SchurPC:
         return apply
 
 
+class LSCSchurPC(SchurPC):
+    """Least-Squares Commutator Schur approximation — the reference's
+    non-AL competitor mode (``--solver-type lsc``,
+    /root/reference/alfi/solver.py:447-460: PCLSC with hypre inner
+    solves, gamma forced to 0 at :127-128).
+
+    For S = -B A^{-1} B^T the LSC preconditioner is
+
+        S^{-1} ~= -(B B^T)^{-1} (B A B^T) (B B^T)^{-1}
+
+    The reference applies each (B B^T)^{-1} as one hypre AMG V-cycle
+    (preonly); the TPU-native analogue here is a short matrix-free CG on
+    L = B B^T (L assembled nowhere; B/B^T ride the same element-tensor
+    kernels as everything else).  For enclosed flows the constant
+    pressure lies in null(B^T) = null(L); both the CG and the outer
+    residual are kept in the orthogonal complement by mean removal.
+
+    Parameters (beyond SchurPC's): ``apply_A`` — the masked velocity
+    Jacobian action at the current Newton state, (ndofV, d) -> (ndofV, d).
+    """
+
+    def __init__(self, form, mask_u, solve_A, apply_A, has_nullspace,
+                 l_iters=30, l_rtol=1e-6):
+        super().__init__(form, mask_u, solve_A)
+        self.apply_A = apply_A
+        self.has_nullspace = has_nullspace
+        self.l_iters = l_iters
+        self.l_rtol = l_rtol
+
+    def _project(self, q):
+        if self.has_nullspace:
+            return q - jnp.mean(q)
+        return q
+
+    def _solve_L(self, s):
+        """(B B^T)^{-1} s by matrix-free CG (hypre-preonly analogue)."""
+        from .krylov import cg
+
+        form, mask_u = self.form, self.mask_u
+
+        def L(q):
+            return self._project(form.apply_divergence(
+                mask_u * form.apply_pressure_gradient(q)))
+
+        x, _ = cg(L, self._project(s), pc=None, rtol=self.l_rtol,
+                  atol=0.0, maxit=self.l_iters)
+        return self._project(x)
+
+    def schur_inverse(self, s, params):
+        form, mask_u = self.form, self.mask_u
+        q1 = self._solve_L(s)
+        w = mask_u * form.apply_pressure_gradient(q1)
+        q2 = form.apply_divergence(mask_u * self.apply_A(w))
+        return -self._solve_L(q2)
+
+
 def pressure_nullspace_projector(Z):
     """Remove the constant-pressure mode (Euclidean, matching PETSc's
     MatNullSpace vector for the basis in
