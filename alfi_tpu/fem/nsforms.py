@@ -244,9 +244,10 @@ class NSForm:
         G = jnp.einsum("cip,cjp->cij", Bt, Bt)
         return self._tensors_from_parts(params, K, G, w_loc, jinv, detj)
 
-    def _tensors_from_parts(self, params, K, G, w_loc, jinv, detj):
-        nu, gamma = params["nu"], params["gamma"]
-        advect = params.get("advect", 0.0)
+    def _advection_tensors_from(self, w_loc, jinv, detj):
+        """Advection linearisation N(wind) as (nc, nl*d, nl*d):
+        N[(l,i),(m,j)] = delta_ij (phi_l, grad phi_m . w)
+                       + (phi_l, d_j w_i phi_m)."""
         tv = self.tab_v
         nl, d = tv.nloc, self.dim
         wdet = tv.w[None, :] * detj[:, None]
@@ -257,7 +258,19 @@ class NSForm:
         N = jnp.einsum("clm,ij->climj", adv1, jnp.eye(d))
         N = N + jnp.einsum("cq,ql,qm,cqij->climj", wdet, tv.phi, tv.phi,
                            gw)
-        N = N.reshape(-1, nl * d, nl * d)
+        return N.reshape(-1, nl * d, nl * d)
+
+    def advection_element_tensors(self, wind):
+        """N(wind) alone — the only wind-dependent Jacobian part (used by
+        the split patch-matrix path, mg/patches.py
+        make_patch_factor_parts)."""
+        jinv, detj, _ = self._geom_args()
+        return self._advection_tensors_from(wind[self.cd_v], jinv, detj)
+
+    def _tensors_from_parts(self, params, K, G, w_loc, jinv, detj):
+        nu, gamma = params["nu"], params["gamma"]
+        advect = params.get("advect", 0.0)
+        N = self._advection_tensors_from(w_loc, jinv, detj)
         return nu * K + gamma * G + advect * N
 
     def velocity_element_tensors_ad(self, params, wind):

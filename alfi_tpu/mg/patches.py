@@ -291,7 +291,7 @@ def build_multiplicative_solver(patchset, direction=None,
 
     from ..solvers.batched_lu import get_factorization
 
-    fs = get_factorization()
+    fs = get_factorization("patch")
     colors, ncolors = color_patchset(patchset, direction)
     factor, _ = build_patch_solver(patchset)
     # contiguous color blocks
@@ -328,29 +328,110 @@ def build_multiplicative_solver(patchset, direction=None,
     return factor, apply
 
 
-def assemble_patch_matrices(patchset, tensors):
+def contract_patch_tensors(patchset, tensors):
     """(np, m, m) patch operators summed from per-cell element tensors
-    (unit diagonal on padding slots)."""
+    (NO padding diagonal — see assemble_patch_matrices).
+
+    A_p = sum_j P_j^T T_j P_j with P_j the 0/1 cell-local -> patch-local
+    placement matrix — on accelerators evaluated as two batched matmuls
+    (measured 2x faster than the XLA scatter at the bench shapes,
+    scripts/profile_patches.py, and exact: products with 0/1 entries);
+    the scatter formulation is the CPU path."""
     import jax
     import jax.numpy as jnp
 
     m = patchset.m
     cells = jnp.asarray(patchset.cells)
     l2p = jnp.asarray(patchset.l2p.astype(np.int32))
-    active = jnp.asarray(patchset.active)
     Tpad = jnp.concatenate(
         [tensors,
          jnp.zeros((1,) + tensors.shape[1:], dtype=tensors.dtype)],
         axis=0)
 
-    def one(cells_p, l2p_p, active_p):
-        T = Tpad[cells_p]  # (mc, nld, nld)
-        A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
-        A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
-        A = A[:m, :m]
-        return A + jnp.diag(jnp.where(active_p, 0.0, 1.0).astype(A.dtype))
+    if jax.default_backend() == "cpu":
+        def one(cells_p, l2p_p):
+            T = Tpad[cells_p]  # (mc, nld, nld)
+            A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
+            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
+            return A[:m, :m]
 
-    return jax.vmap(one)(cells, l2p, active)
+        return jax.vmap(one)(cells, l2p)
+
+    P = (l2p[..., None] == jnp.arange(m + 1, dtype=l2p.dtype)).astype(
+        tensors.dtype)
+
+    def one(cells_p, P_p):
+        T = Tpad[cells_p]  # (mc, nld, nld)
+        TP = jnp.einsum("jlk,jkr->jlr", T, P_p)
+        return jnp.einsum("jlq,jlr->qr", P_p, TP)[:m, :m]
+
+    return jax.vmap(one)(cells, P)
+
+
+def patch_padding_identity(patchset, dtype):
+    """(np, m, m) unit diagonal on padding slots so factorisations of
+    padded patch matrices stay nonsingular."""
+    import jax.numpy as jnp
+
+    active = jnp.asarray(patchset.active)
+    eye = jnp.eye(patchset.m, dtype=dtype)
+    return jnp.where(active, 0.0, 1.0).astype(dtype)[:, :, None] * eye
+
+
+def assemble_patch_matrices(patchset, tensors):
+    """(np, m, m) patch operators summed from per-cell element tensors
+    (unit diagonal on padding slots)."""
+    return (contract_patch_tensors(patchset, tensors)
+            + patch_padding_identity(patchset, tensors.dtype))
+
+
+def patch_static_operators(patchset, form):
+    """One-time (per level) patch contraction of the geometry-only
+    Jacobian parts: {"K": viscous, "G": grad-div, "pad": identity} as
+    (np, m, m) arrays.  The per-Newton-step patch matrix is then
+
+        A_p(params, wind) = nu K_p + gamma G_p + advect N_p(wind) + pad
+
+    with only the O(1)-scale advection part N contracted in the hot
+    loop (see make_patch_factor_parts).  Call OUTSIDE jit and pass the
+    result through the step function's arguments — closure-captured
+    concrete arrays would be embedded as jit constants."""
+    from ..config import real_dtype
+
+    K_el, G_el = form._static_velocity_tensors()
+    return {
+        "K": contract_patch_tensors(patchset, K_el),
+        "G": contract_patch_tensors(patchset, G_el),
+        "pad": patch_padding_identity(patchset, real_dtype),
+    }
+
+
+def make_patch_factor_parts(patchset):
+    """factor_parts(static, N_el, params) -> batched factorisation of
+    nu K_p + gamma G_p + advect N_p + pad.
+
+    On accelerators the advection contraction runs in f32 (MXU): its
+    entries are O(|w| h^d), so the ~1e-7 relative rounding sits far
+    below the nu-scale viscous entries for any Re of interest, while
+    the gamma/nu-conditioned static parts stay exact f64."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..solvers.batched_lu import get_factorization
+
+    fs = get_factorization("patch")
+
+    def factor_parts(static, N_el, params):
+        A = (params["nu"] * static["K"] + params["gamma"] * static["G"]
+             + static["pad"])
+        if N_el is not None:
+            cdt = (A.dtype if jax.default_backend() == "cpu"
+                   else jnp.float32)
+            Np = contract_patch_tensors(patchset, N_el.astype(cdt))
+            A = A + params["advect"] * Np.astype(A.dtype)
+        return fs.factor(A)
+
+    return factor_parts
 
 
 def _gather_scatter(patchset):
@@ -383,7 +464,7 @@ def build_patch_solver(patchset):
     """
     from ..solvers.batched_lu import get_factorization
 
-    fs = get_factorization()
+    fs = get_factorization("patch")
     gather, scatter = _gather_scatter(patchset)
 
     def factor(tensors):

@@ -62,16 +62,15 @@ class SchoeberlTransfer:
         self.zmask = jnp.asarray(zmask, dtype=real_dtype)
 
         # --- coarse-cell patches
-        nch_total, groups = self._patch_cell_groups(hierarchy, l)
-        ps = cell_patches(V, zmask.reshape(-1), groups)
-        self.patchset = ps
         # NOTE: the transfer's patch solves stay on the direct (f64)
         # factorisation path even when the smoother uses the gamma-split
         # Woodbury solver: the prolongation quality is the component the
         # gamma-robustness is most sensitive to (empirically the f32
         # Woodbury transfer stalls the outer FGMRES at Re>=100 even
         # though its isolated outputs agree to ~0.4%).
-        self.woodbury = False
+        nch_total, groups = self._patch_cell_groups(hierarchy, l)
+        ps = cell_patches(V, zmask.reshape(-1), groups)
+        self.patchset = ps
         self.factor, self.papply = build_patch_solver(ps)
 
     @staticmethod
@@ -97,20 +96,29 @@ class SchoeberlTransfer:
         return nch, groups
 
     # ------------------------------------------------------------------
-    def setup(self, params):
+    def static_ops(self):
+        """One-time patch contraction of the (wind-free) transfer form's
+        parts — see mg/patches.py patch_static_operators.  Compute
+        OUTSIDE jit; pass the result back through setup(static=...)."""
+        from .patches import patch_static_operators
+
+        return patch_static_operators(self.patchset, self.fine_level.form)
+
+    def setup(self, params, static=None):
         """Per-parameter state (pure): patch factorisations of the
         transfer form (nu viscous + gamma graddiv, no advection)."""
-        form = self.fine_level.form
-        zero_wind = jnp.zeros((self.fine_level.V.ndof, self.mg.d),
-                              dtype=real_dtype)
-        params_a = dict(params)
-        params_a["advect"] = jnp.zeros_like(params["advect"])
-        if self.woodbury:
-            params_M = dict(params_a)
-            params_M["gamma"] = jnp.zeros_like(params["gamma"])
-            tensors_M = form.velocity_element_tensors(params_M, zero_wind)
-            lufac = self.factor(tensors_M, params["gamma"])
+        from ..solvers.batched_lu import get_factorization
+
+        if static is not None:
+            A = (params["nu"] * static["K"]
+                 + params["gamma"] * static["G"] + static["pad"])
+            lufac = get_factorization("patch").factor(A)
         else:
+            form = self.fine_level.form
+            zero_wind = jnp.zeros((self.fine_level.V.ndof, self.mg.d),
+                                  dtype=real_dtype)
+            params_a = dict(params)
+            params_a["advect"] = jnp.zeros_like(params["advect"])
             tensors_a = form.velocity_element_tensors(params_a, zero_wind)
             lufac = self.factor(tensors_a)
         return {"lufac": lufac, "gamma": params["gamma"]}

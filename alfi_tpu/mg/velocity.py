@@ -116,28 +116,34 @@ class VelocityMG:
         #: currently keep the direct factorisation path
         self.use_woodbury = (use_woodbury()
                              and self.patch_composition == "additive")
-        #: granular override (diagnostics): coarse solve strategy
-        self.wb_coarse = self.use_woodbury
         direction = problem.relaxation_direction()
         self.patch_solvers = []
+        self.patchsets = []
+        self.factor_parts = []
         for l in range(1, self.nlevels):
             lev = self.levels[l]
             if solver.patch == "macro":
                 ps = macrostar_patches(lev.V, np.asarray(lev.mask_flat))
             else:
                 ps = star_patches(lev.V, np.asarray(lev.mask_flat))
+            self.patchsets.append(ps)
             if self.patch_composition == "multiplicative":
                 from .patches import build_multiplicative_solver
 
                 self.patch_solvers.append(
                     build_multiplicative_solver(ps, direction=direction))
+                self.factor_parts.append(None)
             elif self.use_woodbury:
                 from .patches import build_patch_solver_woodbury
 
                 self.patch_solvers.append(build_patch_solver_woodbury(
                     ps, lev.form.graddiv_factors()))
+                self.factor_parts.append(None)
             else:
+                from .patches import make_patch_factor_parts
+
                 self.patch_solvers.append(build_patch_solver(ps))
+                self.factor_parts.append(make_patch_factor_parts(ps))
 
         if self.use_woodbury:
             # materialise the static grad-div factors OUTSIDE any jit
@@ -165,16 +171,37 @@ class VelocityMG:
         return lev.mask_u * r + (1.0 - lev.mask_u) * v
 
     # ------------------------------------------------------------------
-    def transfer_setup(self, params):
+    def transfer_setup(self, params, statics=None):
         """Schoeberl transfer factorisations — depend only on (nu, gamma),
         so the solver computes them ONCE per Reynolds solve (the
         reference's parameter-keyed rebuild cache,
         /root/reference/alfi/transfer.py:168-184)."""
         if self.schoeberl is None:
             return None
-        return [t.setup(params) for t in self.schoeberl]
+        if statics is None:
+            statics = [None] * len(self.schoeberl)
+        return [t.setup(params, static=s)
+                for t, s in zip(self.schoeberl, statics)]
 
-    def setup(self, u_fine, params, schoeberl_state=None):
+    def static_state(self):
+        """One-time static patch operators (smoother levels + Schoeberl
+        transfers) as concrete arrays.  Compute OUTSIDE jit and pass the
+        result to :meth:`setup` / :meth:`transfer_setup` through the step
+        function's ARGUMENTS — capturing it in a jit closure would embed
+        tens of MB of constants (observed to blow up XLA compile)."""
+        from .patches import patch_static_operators
+
+        levels = [
+            (patch_static_operators(self.patchsets[l - 1],
+                                    self.levels[l].form)
+             if self.factor_parts[l - 1] is not None else None)
+            for l in range(1, self.nlevels)
+        ]
+        schoeberl = ([t.static_ops() for t in self.schoeberl]
+                     if self.schoeberl is not None else None)
+        return {"levels": levels, "schoeberl": schoeberl}
+
+    def setup(self, u_fine, params, schoeberl_state=None, static=None):
         """Build the per-Newton-step state: winds, tensors, patch
         factorisations, coarse factorisation.  Pure (jit-safe; called
         inside the per-Newton-step trace)."""
@@ -184,6 +211,7 @@ class VelocityMG:
             winds[l] = self.injects[l].apply(winds[l + 1])
         gamma = params["gamma"]
         wb = self.use_woodbury
+        N_els = None
         if wb:
             params_M = dict(params)
             params_M["gamma"] = jnp.zeros_like(gamma)
@@ -200,15 +228,29 @@ class VelocityMG:
                 for l, tM in enumerate(tensors_M)
             ]
         else:
-            tensors = [
-                self.levels[l].form.velocity_element_tensors(
-                    params, winds[l])
-                for l in range(self.nlevels)
-            ]
+            # split form: only the advection part is wind-dependent; the
+            # element tensors are reassembled cheaply and N is reused for
+            # the patch matrices
+            tensors, N_els = [], []
+            for l in range(self.nlevels):
+                form = self.levels[l].form
+                K_el, G_el = form._static_velocity_tensors()
+                N_el = form.advection_element_tensors(winds[l])
+                tensors.append(params["nu"] * K_el + gamma * G_el
+                               + params["advect"] * N_el)
+                N_els.append(N_el)
         if self.smoother == "patch":
             if wb:
                 patch_lufacs = [
                     self.patch_solvers[l - 1][0](tensors_M[l], gamma)
+                    for l in range(1, self.nlevels)
+                ]
+            elif static is not None:
+                patch_lufacs = [
+                    self.factor_parts[l - 1](static["levels"][l - 1],
+                                             N_els[l], params)
+                    if self.factor_parts[l - 1] is not None
+                    else self.patch_solvers[l - 1][0](tensors[l])
                     for l in range(1, self.nlevels)
                 ]
             else:
@@ -228,7 +270,7 @@ class VelocityMG:
         )
 
         lev0 = self.levels[0]
-        if wb and self.wb_coarse:
+        if wb:
             M0 = assemble_dense_from_tensors(lev0.form, tensors_M[0],
                                              lev0.mask_u)
             B0 = assemble_dense_graddiv_factors(lev0.form, lev0.mask_u)

@@ -79,8 +79,9 @@ class DistributedSolver:
         mh = solver.mh
         self.nlevels = vmg.nlevels
         self.d = vmg.d
-        fs = get_factorization()
+        fs = get_factorization("patch")
         self.fs = fs
+        self.fs_dense = get_factorization("dense")
 
         # ---------------- partition + halos (host) ----------------
         base = (mh.uniform_meshes[0] if mh.kind == "bary" else mh[0])
@@ -441,7 +442,7 @@ class DistributedSolver:
         A = lax.psum(A[:N0d, :N0d], self.axis)
         m0 = self._mask0_flat
         A = m0[:, None] * A * m0[None, :] + jnp.diag(1.0 - m0)
-        coarse_fac = self.fs.factor(A)
+        coarse_fac = self.fs_dense.factor(A)
         return dict(tensors=tensors, patch_facs=patch_facs,
                     coarse_fac=coarse_fac)
 
@@ -452,7 +453,7 @@ class DistributedSolver:
         rg = jnp.zeros((N0d + 1,), dtype=r.dtype)
         rg = rg.at[gflat].add(r * lv0["ownerw"])
         rg = lax.psum(rg[:N0d], self.axis)
-        x = self.fs.solve(state["coarse_fac"], rg)
+        x = self.fs_dense.solve(state["coarse_fac"], rg)
         xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
         xl = xp[jnp.where(gflat < N0d, gflat, N0d)]
         mask = lv0["mask"]

@@ -305,11 +305,19 @@ class NavierStokesSolver:
         vmg = self.vmg
         has_nsp = self.nsp
 
-        self._transfer_setup = jax.jit(vmg.transfer_setup)
+        # one-time static patch operators (computed eagerly, passed as
+        # ARGUMENTS through the jit boundary — not closure constants)
+        self._almg_static = vmg.static_state()
+        _static = self._almg_static
+
+        _transfer_jit = jax.jit(vmg.transfer_setup)
+        self._transfer_setup = (
+            lambda params: _transfer_jit(params, _static["schoeberl"]))
 
         @jax.jit
-        def lin(z, F, params, tstate):
-            state = vmg.setup(z[0], params, schoeberl_state=tstate)
+        def lin(z, F, params, tstate, static):
+            state = vmg.setup(z[0], params, schoeberl_state=tstate,
+                              static=static)
             solve_A = vmg.make_solve_A(state)
             if schur == "lsc":
                 from .solvers.fieldsplit import LSCSchurPC
@@ -332,7 +340,7 @@ class NavierStokesSolver:
             return bcset.zero(dz), info["iters"]
 
         def lin_wrapped(z, F, params, tstate=None):
-            return lin(z, F, params, tstate)
+            return lin(z, F, params, tstate, self._almg_static)
 
         return lin_wrapped
 
@@ -419,7 +427,9 @@ class NavierStokesSolver:
             def solve_A(rv):
                 return flat_solve(rv.reshape(-1)).reshape(-1, d)
         else:
-            state = self.vmg.setup(z[0], params, schoeberl_state=tstate)
+            state = self.vmg.setup(z[0], params, schoeberl_state=tstate,
+                                   static=getattr(self, "_almg_static",
+                                                  None))
             solve_A = self.vmg.make_solve_A(state)
         return SchurPC(self.form, mask_u, solve_A).make_apply(params)
 

@@ -37,12 +37,16 @@ def lu_factor_batched(A):
         idx = jnp.where(idx == k, pk, jnp.where(idx == pk, k, idx))
         LU = jnp.take_along_axis(LU, idx[..., None], axis=-2)
         perm = jnp.take_along_axis(perm, idx, axis=-1)
-        # eliminate below the pivot
+        # eliminate below the pivot — update ONLY columns right of k: the
+        # columns <= k of later rows hold already-stored L multipliers
+        # which the rank-1 update must not touch
         pivval = LU[..., k, k]
         safe = jnp.where(pivval == 0.0, 1.0, pivval)
         fac = LU[..., :, k] / safe[..., None]
         below = rows > k
-        upd = jnp.where(below, fac, 0.0)[..., :, None] * LU[..., k, None, :]
+        pivrow = jnp.where(below, LU[..., k, :], 0.0)  # cols > k only
+        upd = (jnp.where(below, fac, 0.0)[..., :, None]
+               * pivrow[..., None, :])
         LU = LU - upd
         LU = jnp.where(
             (below[:, None] & (rows == k)[None, :]),
@@ -78,6 +82,31 @@ def lu_solve_batched(lu_perm, b):
 
     x = lax.fori_loop(0, m, bwd, y)
     return x
+
+
+def lu_solve_batched_multi(lu_perm, B):
+    """Multi-rhs variant: B (..., m, k) -> X (..., m, k)."""
+    LU, perm = lu_perm
+    m = LU.shape[-1]
+    rows = jnp.arange(m)
+    y = jnp.take_along_axis(B, perm[..., None], axis=-2)
+
+    def fwd(j, y):
+        Lrow = jnp.where(rows < j, LU[..., j, :], 0.0)
+        s = jnp.einsum("...m,...mk->...k", Lrow, y)
+        return y.at[..., j, :].add(-s)
+
+    y = lax.fori_loop(0, m, fwd, y)
+
+    def bwd(i, x):
+        j = m - 1 - i
+        Urow = jnp.where(rows > j, LU[..., j, :], 0.0)
+        s = jnp.einsum("...m,...mk->...k", Urow, x)
+        diag = LU[..., j, j]
+        safe = jnp.where(diag == 0.0, 1.0, diag)
+        return x.at[..., j, :].set((x[..., j, :] - s) / safe[..., None])
+
+    return lax.fori_loop(0, m, bwd, y)
 
 
 def has_native_f64_lu():
@@ -120,7 +149,7 @@ class _QRFactorization:
 
 
 class _CustomF64Factorization:
-    """Elementwise-ops LU fallback (slowest, works anywhere)."""
+    """Elementwise-ops f64 LU (works on any backend)."""
 
     def factor(self, A):
         return lu_factor_batched(A)
@@ -129,27 +158,63 @@ class _CustomF64Factorization:
         return lu_solve_batched(fac, b)
 
 
-_fs = None
+class _ExplicitInverseFactorization:
+    """Dense patch INVERSES — the reference's own PkP0 patch trick
+    (``patch_pc_patch_dense_inverse``, /root/reference/alfi/solver.py:599-602):
+    pay one elementwise f64 LU + multi-rhs solve at factor time, then
+    every application is a single batched matvec (the hot-loop shape the
+    MXU wants).  Forward error of apply-by-inverse is ~kappa*eps64, the
+    same order as an LU solve — and identical to what PETSc's dense
+    inverse does."""
+
+    def factor(self, A):
+        m = A.shape[-1]
+        lu = lu_factor_batched(A)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape)
+        return lu_solve_batched_multi(lu, eye)
+
+    def solve(self, Ainv, b):
+        return jnp.einsum("...ij,...j->...i", Ainv, b)
 
 
-def get_factorization():
-    """Platform-appropriate batched dense factorisation for the
-    ill-conditioned AL operators: native f64 LU on CPU; the custom
-    elementwise f64 LU on TPU (override with ALFI_TPU_PATCH_DTYPE=f32 to
-    trade accuracy for speed)."""
-    global _fs
-    if _fs is None:
+_fs = {}
+
+
+def get_factorization(kind="dense"):
+    """Platform-appropriate dense factorisation for the ill-conditioned
+    AL operators.  CPU: native f64 LU.  TPU (no native f64
+    LuDecomposition):
+
+    * ``kind="patch"`` — large batches of SMALL matrices (the patch
+      smoother/transfer hot path): explicit dense inverses built by the
+      elementwise-ops f64 LU (the reference's own PkP0 dense-inverse
+      trick), so every smoother application is one batched matvec.
+      Measured on v5e at (4225, 14, 14): LU factor 53 ms vs 671 ms for
+      the batched f64 QR, apply ~3 ms vs 78 ms
+      (scripts/profile_patches.py).
+    * ``kind="dense"`` — ONE large matrix (coarse grid, lu/allu modes):
+      batched f64 QR; the elementwise LU would serialise N pivot steps.
+
+    Overrides: ALFI_TPU_PATCH_DTYPE=f32 (f32 LU everywhere, unsafe at
+    high gamma/Re), =lu64 (elementwise f64 LU everywhere), =inv64
+    (explicit inverses everywhere — only sane for patch-sized
+    matrices)."""
+    if kind not in _fs:
         import os
 
         env = os.environ.get("ALFI_TPU_PATCH_DTYPE")
         if env == "f32":
-            _fs = _ScipyFactorization(jnp.float32)
+            _fs[kind] = _ScipyFactorization(jnp.float32)
         elif env == "lu64":
-            _fs = _CustomF64Factorization()
+            _fs[kind] = _CustomF64Factorization()
+        elif env == "inv64":
+            _fs[kind] = _ExplicitInverseFactorization()
         elif has_native_f64_lu():
             from ..config import real_dtype
 
-            _fs = _ScipyFactorization(real_dtype)
+            _fs[kind] = _ScipyFactorization(real_dtype)
+        elif kind == "patch":
+            _fs[kind] = _ExplicitInverseFactorization()
         else:
-            _fs = _QRFactorization()
-    return _fs
+            _fs[kind] = _QRFactorization()
+    return _fs[kind]

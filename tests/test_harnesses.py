@@ -7,6 +7,8 @@ import sys
 import pytest
 
 
+pytestmark = pytest.mark.slow  # integration tier; fast gate = -m 'not slow'
+
 def run_cli(script, argv):
     old = sys.argv
     sys.argv = [script] + argv

@@ -13,6 +13,8 @@ from alfi_tpu.fem.errors import ErrorComputer
 from alfi_tpu.problems import TwoDimLidDrivenCavityMMSProblem
 
 
+pytestmark = pytest.mark.slow  # integration tier; fast gate = -m 'not slow'
+
 def run_mms(solver_cls, baseN, k, hierarchy, re, **kw):
     problem = TwoDimLidDrivenCavityMMSProblem(baseN)
     s = solver_cls(problem, nref=0, k=k, solver_type="lu",

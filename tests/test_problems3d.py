@@ -13,6 +13,8 @@ from alfi_tpu.problems import (
     TwoDimBackwardsFacingStepProblem,
 )
 
+pytestmark = pytest.mark.slow  # integration tier; fast gate = -m 'not slow'
+
 
 @pytest.mark.parametrize("k", [1, 2])
 def test_ldc3d_almg(k):
