@@ -67,6 +67,14 @@ class NSForm:
         self.geom = CellGeometry(mesh)
         self.cd_v = jnp.asarray(V.cell_dofs)
         self.cd_q = jnp.asarray(Q.cell_dofs)
+        from ..utils.scatter import default_use_tables, make_gather_sum
+
+        # scatter-add -> gather-sum on accelerators (utils/scatter.py)
+        if default_use_tables():
+            self._sum_v = make_gather_sum(V.cell_dofs, V.ndof)
+            self._sum_q = make_gather_sum(Q.cell_dofs, Q.ndof)
+        else:
+            self._sum_v = self._sum_q = None
         #: optional forcing: rhs(x (nq,d), params) -> (f_v (nq,d), f_q (nq,))
         self.rhs = rhs
         #: optional extra velocity residual hook: fn(z, params) -> Rv global
@@ -169,8 +177,12 @@ class NSForm:
                 ul, pl, ji, dj, vo, x, params
             )
         )(u_loc, p_loc, jinv, detj, vol, xq)
-        Rv = jnp.zeros_like(u).at[self.cd_v].add(rv)
-        Rq = jnp.zeros_like(p).at[self.cd_q].add(rq)
+        if self._sum_v is not None:
+            Rv = self._sum_v(rv)
+            Rq = self._sum_q(rq)
+        else:
+            Rv = jnp.zeros_like(u).at[self.cd_v].add(rv)
+            Rq = jnp.zeros_like(p).at[self.cd_q].add(rq)
         if self.stabilisation is not None:
             Sv, Sq = self.stabilisation(z, params)
             Rv = Rv + Sv
@@ -187,6 +199,8 @@ class NSForm:
                 ul, wl, ji, dj, vo, params
             )
         )(u_loc, w_loc, jinv, detj, vol)
+        if self._sum_v is not None:
+            return self._sum_v(rv)
         return jnp.zeros_like(u).at[self.cd_v].add(rv)
 
     # ------------------------------------------------------------------
@@ -375,6 +389,8 @@ class NSForm:
         gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
         wdet = tv.w[None, :] * detj[:, None]
         rv = -jnp.einsum("cq,cq,cqld->cld", wdet, p_q, gtest)
+        if self._sum_v is not None:
+            return self._sum_v(rv)
         u = jnp.zeros((self.V.ndof, self.dim), dtype=rv.dtype)
         return u.at[self.cd_v].add(rv)
 
@@ -386,6 +402,8 @@ class NSForm:
         divu = jnp.einsum("cqii->cq", gu)
         wdet = tv.w[None, :] * detj[:, None]
         rq = -jnp.einsum("cq,cq,ql->cl", wdet, divu, tq.phi)
+        if self._sum_q is not None:
+            return self._sum_q(rq)
         p = jnp.zeros((self.Q.ndof,), dtype=rq.dtype)
         return p.at[self.cd_q].add(rq)
 
@@ -394,6 +412,8 @@ class NSForm:
         given per-cell inverse mass matrices ``minv`` (nc, nlq, nlq)."""
         r_loc = r[self.cd_q]
         out = jnp.einsum("clm,cm->cl", minv, r_loc)
+        if self._sum_q is not None:
+            return self._sum_q(out)
         return jnp.zeros_like(r).at[self.cd_q].add(out)
 
     # ------------------------------------------------------------------

@@ -291,6 +291,8 @@ def build_multiplicative_solver(patchset, direction=None,
 
     from ..solvers.batched_lu import get_factorization
 
+    from ..utils.scatter import default_use_tables, make_gather_sum
+
     fs = get_factorization("patch")
     colors, ncolors = color_patchset(patchset, direction)
     factor, _ = build_patch_solver(patchset)
@@ -301,6 +303,10 @@ def build_multiplicative_solver(patchset, direction=None,
               for c in range(ncolors)]
     act_c = [jnp.asarray(patchset.active[order[bounds[c]:bounds[c + 1]]])
              for c in range(ncolors)]
+    sums_c = ([make_gather_sum(
+        patchset.dofs[order[bounds[c]:bounds[c + 1]]], patchset.nflat)
+        for c in range(ncolors)] if default_use_tables()
+        else [None] * ncolors)
     order_j = np.asarray(order)
 
     def apply(lufac, b_flat, Aop):
@@ -312,6 +318,8 @@ def build_multiplicative_solver(patchset, direction=None,
             rp = rpad[dofs_c[c]]
             sl = slice(int(bounds[c]), int(bounds[c + 1]))
             xp = fs.solve(jax.tree.map(lambda a: a[sl], fac_o), rp)
+            if sums_c[c] is not None:
+                return sums_c[c](xp.astype(r_flat.dtype))
             xp = jnp.where(act_c[c], xp, 0.0)
             out = jnp.zeros((patchset.nflat + 1,), dtype=r_flat.dtype)
             return out.at[dofs_c[c]].add(xp)[:-1]
@@ -437,8 +445,13 @@ def make_patch_factor_parts(patchset):
 def _gather_scatter(patchset):
     import jax.numpy as jnp
 
+    from ..utils.scatter import default_use_tables, make_gather_sum
+
     dofs = jnp.asarray(patchset.dofs)
     active = jnp.asarray(patchset.active)
+    # pad slots carry patchset.nflat and are dropped by the table
+    gsum = (make_gather_sum(patchset.dofs, patchset.nflat)
+            if default_use_tables() else None)
 
     def gather(r_flat):
         rpad = jnp.concatenate(
@@ -448,6 +461,9 @@ def _gather_scatter(patchset):
     def scatter(xp, dtype):
         import jax.numpy as jnp
 
+        if gsum is not None:
+            # table never references padding slots; no masking needed
+            return gsum(xp.astype(dtype))
         xp = jnp.where(active, xp, 0.0).astype(dtype)
         out = jnp.zeros((patchset.nflat + 1,), dtype=dtype)
         return out.at[dofs].add(xp)[:-1]

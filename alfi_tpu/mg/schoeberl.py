@@ -131,6 +131,8 @@ class SchoeberlTransfer:
         vloc = v.reshape(-1)[lev.rows]
         t = jnp.einsum("clq,cl->cq", Bt, vloc)
         rloc = gamma * jnp.einsum("clq,cq->cl", Bt, t)
+        if lev.row_sum is not None:
+            return lev.row_sum(rloc).reshape(lev.V.ndof, self.mg.d)
         r = jnp.zeros((lev.V.ndof * self.mg.d,), dtype=v.dtype)
         return r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.mg.d)
 

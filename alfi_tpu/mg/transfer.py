@@ -73,15 +73,19 @@ class PointEvalTransfer:
     def __init__(self, source_space, target_space, src_cells, ref_xi):
         import jax.numpy as jnp
 
+        from ..utils.scatter import default_use_tables, make_gather_sum
+
         self.source = source_space
         self.target = target_space
-        self.idx = jnp.asarray(
-            source_space.cell_dofs[src_cells], dtype=jnp.int32
-        )  # (ndof_t, nloc_s)
+        idx_np = source_space.cell_dofs[src_cells]
+        self.idx = jnp.asarray(idx_np, dtype=jnp.int32)  # (ndof_t, nloc_s)
         # tabulate(pts) -> (npts, nloc): row i = all source basis values at
         # target dof i's own reference point
         w = source_space.element.tabulate(ref_xi)
         self.w = jnp.asarray(w, dtype=real_dtype)
+        #: restriction scatter-add -> gather-sum on accelerators
+        self.row_sum = (make_gather_sum(idx_np, source_space.ndof)
+                        if default_use_tables() else None)
 
     def apply(self, u_src):
         """Pointwise evaluation: (ndof_t,) or (ndof_t, d) from source."""
@@ -92,17 +96,20 @@ class PointEvalTransfer:
         return jnp.einsum("il,ild->id", self.w, u_src[self.idx])
 
     def apply_transpose(self, r_tgt):
-        """Adjoint (restriction): scatter-add weighted rows."""
+        """Adjoint (restriction): accumulate weighted rows."""
         import jax.numpy as jnp
 
         if r_tgt.ndim == 1:
+            if self.row_sum is not None:
+                return self.row_sum(self.w * r_tgt[:, None])
             out = jnp.zeros((self.source.ndof,), dtype=r_tgt.dtype)
             return out.at[self.idx].add(self.w * r_tgt[:, None])
+        vals = self.w[:, :, None] * r_tgt[:, None, :]
+        if self.row_sum is not None:
+            return self.row_sum(vals)
         out = jnp.zeros((self.source.ndof, r_tgt.shape[1]),
                         dtype=r_tgt.dtype)
-        return out.at[self.idx].add(
-            self.w[:, :, None] * r_tgt[:, None, :]
-        )
+        return out.at[self.idx].add(vals)
 
 
 def _candidates_fine_from_coarse(hierarchy, clevel, owner_fine_cells):

@@ -35,6 +35,12 @@ class MGLevel:
         self.mask_u = mask_u  # (ndof, d)
         self.mask_flat = mask_u.reshape(-1)
         self.rows = rows  # (nc, nloc*d) flattened dof rows
+        from ..utils.scatter import default_use_tables, make_gather_sum
+
+        #: scatter-add -> gather-sum on accelerators (utils/scatter.py)
+        self.row_sum = (make_gather_sum(np.asarray(rows),
+                                        V.ndof * V.value_size)
+                        if default_use_tables() else None)
 
 
 class VelocityMG:
@@ -166,8 +172,11 @@ class VelocityMG:
         v0 = (lev.mask_u * v).reshape(-1)
         vloc = v0[lev.rows]
         rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
-        r = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
-        r = r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.d)
+        if lev.row_sum is not None:
+            r = lev.row_sum(rloc).reshape(lev.V.ndof, self.d)
+        else:
+            r = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
+            r = r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.d)
         return lev.mask_u * r + (1.0 - lev.mask_u) * v
 
     # ------------------------------------------------------------------
@@ -230,14 +239,19 @@ class VelocityMG:
         else:
             # split form: only the advection part is wind-dependent; the
             # element tensors are reassembled cheaply and N is reused for
-            # the patch matrices
+            # the patch matrices (and the level-0 gamma-free M tensors
+            # for the Woodbury coarse solve)
             tensors, N_els = [], []
+            M_tensors0 = None
             for l in range(self.nlevels):
                 form = self.levels[l].form
                 K_el, G_el = form._static_velocity_tensors()
                 N_el = form.advection_element_tensors(winds[l])
-                tensors.append(params["nu"] * K_el + gamma * G_el
-                               + params["advect"] * N_el)
+                M_el = (params["nu"] * K_el
+                        + params["advect"] * N_el)
+                tensors.append(M_el + gamma * G_el)
+                if l == 0:
+                    M_tensors0 = M_el
                 N_els.append(N_el)
         if self.smoother == "patch":
             if wb:
@@ -276,15 +290,32 @@ class VelocityMG:
             B0 = assemble_dense_graddiv_factors(lev0.form, lev0.mask_u)
             coarse_solve = woodbury_dense_closure(M0, B0, gamma)
         else:
-            from ..solvers.batched_lu import get_factorization
+            from ..solvers.batched_lu import (
+                get_factorization,
+                has_native_f64_lu,
+            )
 
-            A0 = assemble_dense_from_tensors(lev0.form, tensors[0],
-                                             lev0.mask_u)
-            fac0 = get_factorization().factor(A0)
-            fs = get_factorization()
+            if not has_native_f64_lu() and N_els is not None:
+                # TPU: gamma-split f32 LU + f64 iterative refinement —
+                # replaces the ~600 ms/Newton-step emulated f64 QR
+                from ..solvers.linear import (
+                    woodbury_refined_dense_closure,
+                )
 
-            def coarse_solve(b):
-                return fs.solve(fac0, b)
+                M0 = assemble_dense_from_tensors(
+                    lev0.form, M_tensors0, lev0.mask_u)
+                B0 = assemble_dense_graddiv_factors(lev0.form,
+                                                    lev0.mask_u)
+                coarse_solve = woodbury_refined_dense_closure(
+                    M0, B0, gamma)
+            else:
+                A0 = assemble_dense_from_tensors(lev0.form, tensors[0],
+                                                 lev0.mask_u)
+                fac0 = get_factorization().factor(A0)
+                fs = get_factorization()
+
+                def coarse_solve(b):
+                    return fs.solve(fac0, b)
 
         state = {
             "tensors": tensors,
@@ -307,8 +338,11 @@ class VelocityMG:
         """Operator diagonal (flat) with 1.0 on constrained dofs."""
         lev = self.levels[l]
         dloc = jnp.einsum("cii->ci", tensors)
-        diag = jnp.zeros((lev.V.ndof * self.d,), dtype=dloc.dtype)
-        diag = diag.at[lev.rows].add(dloc)
+        if lev.row_sum is not None:
+            diag = lev.row_sum(dloc)
+        else:
+            diag = jnp.zeros((lev.V.ndof * self.d,), dtype=dloc.dtype)
+            diag = diag.at[lev.rows].add(dloc)
         mf = lev.mask_flat
         return mf * diag + (1.0 - mf)
 

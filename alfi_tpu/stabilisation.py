@@ -120,11 +120,16 @@ class ShakibSUPG:
                 + jnp.einsum("cq,cqj,cqlij->cli", coef, Lu, -nu * Hl)
             # pressure rows: inner(Lu, grad q)
             rq_loc = jnp.einsum("cq,cqj,cqlj->cl", coef, Lu, self.gq)
-        Rv = jnp.zeros((form.V.ndof, form.dim), dtype=rv_loc.dtype)
-        Rv = Rv.at[jnp.asarray(form.V.cell_dofs)].add(rv_loc)
-        Rq = jnp.zeros((form.Q.ndof,), dtype=Rv.dtype)
-        if rq_loc is not None:
-            Rq = Rq.at[jnp.asarray(form.Q.cell_dofs)].add(rq_loc)
+        if form._sum_v is not None:
+            Rv = form._sum_v(rv_loc)
+            Rq = (form._sum_q(rq_loc) if rq_loc is not None
+                  else jnp.zeros((form.Q.ndof,), dtype=Rv.dtype))
+        else:
+            Rv = jnp.zeros((form.V.ndof, form.dim), dtype=rv_loc.dtype)
+            Rv = Rv.at[jnp.asarray(form.V.cell_dofs)].add(rv_loc)
+            Rq = jnp.zeros((form.Q.ndof,), dtype=Rv.dtype)
+            if rq_loc is not None:
+                Rq = Rq.at[jnp.asarray(form.Q.cell_dofs)].add(rq_loc)
         return Rv, Rq
 
 
@@ -172,6 +177,17 @@ class BurmanStabilisation:
         self.weight = weight if weight is not None else 3e-3
         deg = 2 * form.V.element.degree
         self.facets = InteriorFacets(form.V, deg)
+        from .utils.scatter import default_use_tables, make_gather_sum
+
+        if default_use_tables():
+            mesh = form.V.mesh
+            fc = mesh.facet_cells[mesh.interior_facets]
+            self._sum0 = make_gather_sum(form.V.cell_dofs[fc[:, 0]],
+                                         form.V.ndof)
+            self._sum1 = make_gather_sum(form.V.cell_dofs[fc[:, 1]],
+                                         form.V.ndof)
+        else:
+            self._sum0 = self._sum1 = None
 
     def residual(self, z, params):
         form = self.form
@@ -199,8 +215,11 @@ class BurmanStabilisation:
         tn1 = jnp.einsum("fqlj,fj->fql", g1, n)
         r0 = jnp.einsum("f,q,fqd,fql->fld", coef, wq, jump, tn0)
         r1 = -jnp.einsum("f,q,fqd,fql->fld", coef, wq, jump, tn1)
-        Rv = jnp.zeros((form.V.ndof, form.dim), dtype=u.dtype)
-        Rv = Rv.at[dofs0].add(r0).at[dofs1].add(r1)
+        if self._sum0 is not None:
+            Rv = self._sum0(r0) + self._sum1(r1)
+        else:
+            Rv = jnp.zeros((form.V.ndof, form.dim), dtype=u.dtype)
+            Rv = Rv.at[dofs0].add(r0).at[dofs1].add(r1)
         Rq = jnp.zeros((form.Q.ndof,), dtype=u.dtype)
         return Rv, Rq
 

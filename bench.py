@@ -35,10 +35,15 @@ def vanka_dof_throughput(solver):
     L = vmg.nlevels - 1
     params = solver.params()
     static = getattr(solver, "_almg_static", None)
-    state = jax.jit(lambda u, p: vmg.setup(
-        u, p, static=static))(solver.z[0], params)
-    lufac = state["patch_lufacs"][L - 1]
     _, papply = vmg.patch_solvers[L - 1]
+
+    @jax.jit
+    def factor(u, p):
+        # setup returns closures (coarse_solve) — extract only the
+        # fine-level patch factorisation as the jit output
+        return vmg.setup(u, p, static=static)["patch_lufacs"][L - 1]
+
+    lufac = factor(solver.z[0], params)
     r = jnp.ones((vmg.levels[L].V.ndof * vmg.d,),
                  dtype=solver.z[0].dtype)
     fn = jax.jit(papply)
