@@ -163,6 +163,38 @@ class VelocityMG:
                 SchoeberlTransfer(self, l) for l in range(self.nlevels - 1)
             ]
 
+        # ------------------------------------------------------------
+        # stabilisation in the LEVEL OPERATORS: the reference assembles
+        # its PCMG/PCPatch operators from the full stabilised Jacobian
+        # (advect * stab added to the form, /root/reference/alfi/solver.py:204-237,
+        # with the wind injected to every level,
+        # /root/reference/alfi/stabilisation.py:29-43).  Without these
+        # terms the preconditioner departs from the true Jacobian as Re
+        # grows (measured: ldc2d+SUPG Krylov/Newton 10 -> 56 over Re
+        # 100 -> 1500 before this wiring).
+        # ------------------------------------------------------------
+        self.stab = None
+        st = getattr(solver, "stabilisation", None)
+        if (st is not None and st.has_velocity_tensors
+                and not self.use_woodbury
+                and all(lev.form.Q.element.degree == 0
+                        for lev in self.levels)):
+            from ..stabilisation import make_stabilisation
+
+            impls = [st] * self.nlevels
+            for l in range(self.nlevels - 1):
+                impls[l] = make_stabilisation(
+                    self.levels[l].form, solver.stabilisation_type,
+                    solver.supg_method, solver.supg_magic,
+                    solver.stabilisation_weight, None,
+                    char_LU=solver.char_L * solver.char_U)
+            self.stab = impls
+            # P0 pressure injection: coarse cell = mean of children
+            self.c2f_cells = [
+                jnp.asarray(np.asarray(mh.coarse_to_fine_cells(l)))
+                for l in range(self.nlevels - 1)
+            ]
+
     # ------------------------------------------------------------------
     # per-level masked operator from element tensors
     # ------------------------------------------------------------------
@@ -210,7 +242,8 @@ class VelocityMG:
                      if self.schoeberl is not None else None)
         return {"levels": levels, "schoeberl": schoeberl}
 
-    def setup(self, u_fine, params, schoeberl_state=None, static=None):
+    def setup(self, u_fine, params, schoeberl_state=None, static=None,
+              p_fine=None):
         """Build the per-Newton-step state: winds, tensors, patch
         factorisations, coarse factorisation.  Pure (jit-safe; called
         inside the per-Newton-step trace)."""
@@ -220,6 +253,18 @@ class VelocityMG:
             winds[l] = self.injects[l].apply(winds[l + 1])
         gamma = params["gamma"]
         wb = self.use_woodbury
+        stab_active = self.stab is not None and p_fine is not None
+        if stab_active:
+            press = [None] * self.nlevels
+            press[-1] = p_fine
+            for l in range(self.nlevels - 2, -1, -1):
+                press[l] = jnp.mean(press[l + 1][self.c2f_cells[l]],
+                                    axis=1)
+            # frozen (z_last) wind injected per level, like the live one
+            fwinds = [None] * self.nlevels
+            fwinds[-1] = params["wind"]
+            for l in range(self.nlevels - 2, -1, -1):
+                fwinds[l] = self.injects[l].apply(fwinds[l + 1])
         N_els = None
         if wb:
             params_M = dict(params)
@@ -247,6 +292,10 @@ class VelocityMG:
                 form = self.levels[l].form
                 K_el, G_el = form._static_velocity_tensors()
                 N_el = form.advection_element_tensors(winds[l])
+                if stab_active:
+                    params_l = dict(params, wind=fwinds[l])
+                    N_el = N_el + self.stab[l].velocity_tensors_hook(
+                        (winds[l], press[l]), params_l)
                 M_el = (params["nu"] * K_el
                         + params["advect"] * N_el)
                 tensors.append(M_el + gamma * G_el)

@@ -317,7 +317,7 @@ class NavierStokesSolver:
         @jax.jit
         def lin(z, F, params, tstate, static):
             state = vmg.setup(z[0], params, schoeberl_state=tstate,
-                              static=static)
+                              static=static, p_fine=z[1])
             solve_A = vmg.make_solve_A(state)
             if schur == "lsc":
                 from .solvers.fieldsplit import LSCSchurPC
@@ -429,7 +429,7 @@ class NavierStokesSolver:
         else:
             state = self.vmg.setup(z[0], params, schoeberl_state=tstate,
                                    static=getattr(self, "_almg_static",
-                                                  None))
+                                                  None), p_fine=z[1])
             solve_A = self.vmg.make_solve_A(state)
         return SchurPC(self.form, mask_u, solve_A).make_apply(params)
 

@@ -133,6 +133,88 @@ class ShakibSUPG:
         return Rv, Rq
 
 
+    # ------------------------------------------------------------------
+    # velocity-block element Jacobians (for the MG preconditioner)
+    # ------------------------------------------------------------------
+    def _beta_cell(self, u_q, hc, params, aux):
+        """Per-cell stabilisation coefficient, (nq,) from u_q (nq, d)."""
+        nu = params["nu"]
+        h2 = hc ** 2
+        w2 = jnp.einsum("qd,qd->q", u_q, u_q)
+        return (4.0 * w2 / h2
+                + self.magic * (4.0 * nu / h2) ** 2) ** (-0.5)
+
+    def _tensor_aux(self, params):
+        return 0.0
+
+    def velocity_element_tensors(self, z, params):
+        """(nc, nl*d, nl*d) per-cell velocity-block Jacobian of the
+        stabilisation residual at state z — NOT advect-scaled (the
+        caller multiplies by ``advect``, like the residual hook).
+
+        The reference's PCPatch/PCMG operators are assembled from the
+        full stabilised Jacobian (the form includes advect*stab,
+        /root/reference/alfi/solver.py:204-237), so the MG level
+        operators and patch matrices here must carry the same terms —
+        without them the preconditioner drifts from the true Jacobian
+        as Re grows and the outer Krylov counts climb.  Derived by
+        jacfwd of a per-cell residual kernel mirroring
+        :meth:`residual`."""
+        import jax
+
+        form = self.form
+        u, p = z
+        tv = form.tab_v
+        u_loc = u[form.cd_v]  # (nc, nl, d)
+        p_loc = p[form.cd_q]
+        geom = form.geom
+        jinv, detj = geom.jinv, geom.detj
+        nu, advect = params["nu"], params["advect"]
+        phi, gphi, wq = tv.phi, tv.gphi, tv.w
+        gls = self.mode == "gls"
+        wind_loc = (params["wind"][form.cd_v] if gls
+                    else jnp.zeros_like(u_loc))
+        aux = self._tensor_aux(params)
+        if form.rhs is not None:
+            xq = geom.quad_points_physical(tv.ref_pts)  # (nc, nq, d)
+        else:
+            nc = u_loc.shape[0]
+            xq = jnp.zeros((nc, phi.shape[0], form.dim),
+                           dtype=u_loc.dtype)
+
+        def cell_rv(ul, pl, wl, ji, dj, hessc, gqc, hc, xqc):
+            u_q = jnp.einsum("ql,ld->qd", phi, ul)
+            g = jnp.einsum("qle,ej->qlj", gphi, ji)
+            gu = jnp.einsum("qlj,li->qij", g, ul)
+            Hu = jnp.einsum("qlab,li->qiab", hessc, ul)
+            visc = (jnp.einsum("qiaa->qi", Hu)
+                    + jnp.einsum("qaia->qi", Hu))
+            gp = jnp.einsum("qlj,l->qj", gqc, pl)
+            Lu = (-nu * visc
+                  + advect * jnp.einsum("qij,qj->qi", gu, u_q) + gp)
+            if form.rhs is not None:
+                f_v, _ = form.rhs(xqc, params)
+                Lu = Lu - f_v
+            beta = self._beta_cell(u_q, hc, params, aux)
+            coef = self.weight * (wq * dj) * beta  # (nq,)
+            if gls:
+                w_q = jnp.einsum("ql,ld->qd", phi, wl)
+                adv_w = jnp.einsum("qlj,qj->ql", g, w_q)
+                lap = jnp.einsum("qlaa->ql", hessc)
+                return (jnp.einsum("q,qi,ql->li", coef, Lu,
+                                   -nu * lap + adv_w)
+                        + jnp.einsum("q,qj,qlij->li", coef, Lu,
+                                     -nu * hessc))
+            adv_test = jnp.einsum("qlj,qj->ql", g, u_q)
+            return jnp.einsum("q,qi,ql->li", coef, Lu, adv_test)
+
+        J = jax.vmap(jax.jacfwd(cell_rv, argnums=0))(
+            u_loc, p_loc, wind_loc, jinv, detj, self.hess, self.gq,
+            self.h, xq)  # (nc, nl, d, nl, d)
+        nc, nl, d = J.shape[0], J.shape[1], J.shape[2]
+        return J.reshape(nc, nl * d, nl * d)
+
+
 class TurekSUPG(ShakibSUPG):
     """Turek's SUPG coefficient (/root/reference/alfi/stabilisation.py:100-136):
     Re_tau = cell_avg(|u|) h Re;  beta = magic h 2 Re_tau / (w_avg (1+Re_tau))
@@ -166,6 +248,29 @@ class TurekSUPG(ShakibSUPG):
         beta = self.magic * h * 2.0 * re_tau / (w_avg * (1.0 + re_tau)
                                                 + 1e-300)
         return beta[:, None] * jnp.ones_like(unorm)
+
+    def _tensor_aux(self, params):
+        """Global scalar w_avg from the FROZEN wind (not differentiated)."""
+        form = self.form
+        wind = params["wind"]
+        w_loc = wind[jnp.asarray(form.V.cell_dofs)]
+        w_qq = jnp.einsum("ql,cld->cqd", form.tab_v.phi, w_loc)
+        return jnp.einsum(
+            "cq,cq->", self._wdet,
+            jnp.sqrt(jnp.einsum("cqd,cqd->cq", w_qq, w_qq))
+        ) / self._domain_measure
+
+    def _beta_cell(self, u_q, hc, params, aux):
+        nu = params["nu"]
+        Re = self.char_LU / nu
+        tv = self.form.tab_v
+        unorm = jnp.sqrt(jnp.einsum("qd,qd->q", u_q, u_q))
+        # detj cancels between numerator and denominator (affine cells)
+        cellavg = jnp.einsum("q,q->", tv.w, unorm) / tv.w.sum()
+        re_tau = cellavg * hc * Re
+        beta = (self.magic * hc * 2.0 * re_tau
+                / (aux * (1.0 + re_tau) + 1e-300))
+        return beta * jnp.ones_like(unorm)
 
 
 class BurmanStabilisation:
@@ -235,6 +340,21 @@ class StabilisationWrapper:
         advect = params["advect"]
         Rv, Rq = self.impl.residual(z, params)
         return advect * Rv, advect * Rq
+
+    @property
+    def has_velocity_tensors(self):
+        """True when per-cell velocity-block Jacobians are available for
+        the MG preconditioner (SUPG/GLS; Burman's facet coupling does
+        not fit the cell-tensor structure — its weight is 3e-3 and its
+        omission from the PC is benign)."""
+        return isinstance(self.impl, ShakibSUPG)
+
+    def velocity_tensors_hook(self, z, params):
+        """Un-advect-scaled per-cell Jacobian contribution (see
+        ShakibSUPG.velocity_element_tensors); None when unsupported."""
+        if not self.has_velocity_tensors:
+            return None
+        return self.impl.velocity_element_tensors(z, params)
 
     def update(self, wind):
         # wind travels through params["wind"]; nothing cached here

@@ -78,3 +78,23 @@ def test_almg_sv_bary_macro():
 
     ec = ErrorComputer(s.form)
     assert float(ec.divergence_norm(z[0])) < 1e-8
+
+
+@pytest.mark.slow
+def test_supg_high_re_krylov_flatness():
+    """The headline capability (reference examples/iters.py): with the
+    stabilised Jacobian in the MG/patch operators, Krylov-per-Newton
+    stays nearly flat in Re.  Without those terms this config measured
+    kpn 10 -> 56 over Re 100 -> 1500 (results/iters_*_BEFORE_stab_pc)."""
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    s = ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(8), nref=1, k=2,
+        solver_type="almg", hierarchy="uniform",
+        stabilisation_type="supg", restriction=True, verbose=False)
+    kpn = {}
+    for re in [1, 10, 100, 300, 500, 1000]:
+        _, info = s.solve(re)
+        assert info["converged"], re
+        kpn[re] = info["linear_iter"] / max(1, info["nonlinear_iter"])
+    assert kpn[1000] <= 15.0, kpn

@@ -58,3 +58,45 @@ def test_burman_sv():
 
     ec = ErrorComputer(s.form)
     assert float(ec.divergence_norm(z[0])) < 1e-7
+
+
+def test_supg_velocity_tensors_match_jvp():
+    """The per-cell SUPG/GLS Jacobians used by the MG operators must act
+    like the true d(stab Rv)/du at fixed p (the reference assembles its
+    PCMG/PCPatch operators from the same stabilised Jacobian)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alfi_tpu import ConstantPressureSolver
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    for method, kind in [("shakib", "supg"), ("shakib", "gls"),
+                         ("turek", "supg")]:
+        s = ConstantPressureSolver(
+            TwoDimLidDrivenCavityProblem(4), nref=1, k=2,
+            solver_type="almg", hierarchy="uniform",
+            stabilisation_type=kind, supg_method=method, verbose=False)
+        s.advect_val, s.nu_val = 1.0, 0.05
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(s.z[0].shape))
+        p = jnp.asarray(rng.standard_normal(s.z[1].shape))
+        du = jnp.asarray(rng.standard_normal(u.shape))
+        params = s.params()
+        impl = s.stabilisation.impl
+        T = impl.velocity_element_tensors((u, p), params)  # (nc, nld, nld)
+        # assemble the action of T on du
+        form = s.form
+        cd = np.asarray(form.V.cell_dofs)
+        d = form.dim
+        du_loc = du[cd].reshape(cd.shape[0], -1)
+        act_loc = jnp.einsum("cij,cj->ci", T, du_loc)
+        act = np.zeros(u.shape)
+        np.add.at(act, cd, np.asarray(act_loc).reshape(
+            cd.shape[0], -1, d))
+        # reference: jvp of the assembled stab velocity residual
+        _, jv = jax.jvp(
+            lambda uu: impl.residual((uu, p), params)[0], (u,), (du,))
+        scale = float(jnp.max(jnp.abs(jv))) + 1e-30
+        err = float(jnp.max(jnp.abs(act - jv))) / scale
+        assert err < 1e-9, (method, kind, err)
