@@ -152,8 +152,6 @@ def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
       (matvec only — cheap), recovering f64 forward accuracy as long as
       the f32 M-solve is a contraction (kappa_equil(M) << 1/eps32).
     """
-    from .batched_lu import lu_factor_batched, lu_solve_batched
-
     dt = jnp.float32
     # symmetric equilibration of M: unit row/col inf-norms
     d = 1.0 / jnp.sqrt(jnp.max(jnp.abs(M), axis=1) + 1e-300)
@@ -174,11 +172,15 @@ def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
     inv_gamma = jnp.where(gamma > 0.0, 1.0 / jnp.maximum(gamma, 1e-300),
                           1e300)
     C = jnp.eye(R, dtype=M.dtype) * inv_gamma + S
-    Clu = lu_factor_batched(C)
+    # one-time explicit f64 inverse via QR (native Qr/TriangularSolve
+    # with a matrix rhs — blocked, unlike the elementwise LU whose 2R
+    # sequential pivot steps would run inside EVERY coarse solve)
+    Qc, Rc = jnp.linalg.qr(C)
+    Cinv = jax.scipy.linalg.solve_triangular(Rc, Qc.T, lower=False)
 
     def base(b):
         y = Minv(b)
-        s = lu_solve_batched(Clu, B.T @ y)
+        s = Cinv @ (B.T @ y)
         return y - Y @ s
 
     def Amv(x):
