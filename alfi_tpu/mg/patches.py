@@ -356,7 +356,14 @@ def contract_patch_tensors(patchset, tensors):
          jnp.zeros((1,) + tensors.shape[1:], dtype=tensors.dtype)],
         axis=0)
 
-    if jax.default_backend() == "cpu":
+    npat, mc = patchset.cells.shape
+    nld = tensors.shape[-1]
+    # one-hot temporaries are (np, mc, nld, m+1); in 3D (m ~ 40-150)
+    # they reach GBs and kill the compile — scatter there instead (the
+    # contraction runs once per Newton-step setup, where a scatter's
+    # ~8 ms is immaterial; only the CYCLE must stay scatter-free)
+    onehot_bytes = npat * mc * nld * (m + 1) * tensors.dtype.itemsize
+    if jax.default_backend() == "cpu" or onehot_bytes > 2 ** 27:
         def one(cells_p, l2p_p):
             T = Tpad[cells_p]  # (mc, nld, nld)
             A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
