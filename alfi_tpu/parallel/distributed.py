@@ -729,6 +729,30 @@ class DistributedSolver:
     def transfer_setup(self, params):
         return self._tsetup_sm(self.loc, params)
 
+    def load_balance(self, verbose=True):
+        """Per-device ownership report — the reference's load_balance
+        (/root/reference/alfi/solver.py:537-554: min/mean/max owned
+        dofs over ranks with the max/min ratio).  Reports owned cells
+        per level and fine-level velocity dofs (a dof is owned by the
+        block of its owner cell)."""
+        from ..mg.transfer import _dof_owner_cells
+
+        stats = {}
+        for l in range(self.nlevels):
+            stats["cells_l%d" % l] = np.bincount(
+                self.blocks[l], minlength=self.nb)
+        V = self.vmg.levels[-1].V
+        owner = _dof_owner_cells(V)
+        stats["fine_vdofs"] = np.bincount(
+            self.blocks[-1][owner], minlength=self.nb) * V.value_size
+        if verbose:
+            for name, c in stats.items():
+                mn, mx, mean = int(c.min()), int(c.max()), float(c.mean())
+                print("Load balance %-12s min %d  max %d  mean %.1f  "
+                      "(ratio %.2f)" % (name, mn, mx, mean,
+                                        mx / max(1, mn)))
+        return stats
+
     def residual(self, z, params):
         """(F, fnorm) with F local-sharded and fnorm replicated."""
         F, fnorm = self._res_sm(self.loc, z, params)

@@ -156,15 +156,27 @@ def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
     # symmetric equilibration of M: unit row/col inf-norms
     d = 1.0 / jnp.sqrt(jnp.max(jnp.abs(M), axis=1) + 1e-300)
     Ms32 = (d[:, None] * M * d[None, :]).astype(dt)
-    Mlu = jax.scipy.linalg.lu_factor(Ms32)
+    if M.shape[0] > 8192:
+        # XLA's blocked f32 LuDecomposition overflows scoped vmem around
+        # N ~ 13k on v5e; QR is blocked more conservatively
+        Qm, Rm = jnp.linalg.qr(Ms32)
+
+        def _msolve32(b32):
+            return jax.scipy.linalg.solve_triangular(Rm, Qm.T @ b32,
+                                                     lower=False)
+    else:
+        Mlu = jax.scipy.linalg.lu_factor(Ms32)
+
+        def _msolve32(b32):
+            return jax.scipy.linalg.lu_solve(Mlu, b32)
 
     def Minv(x):
         # x f64 -> M^{-1} x (f32 inner solve, f64 in/out)
-        y = jax.scipy.linalg.lu_solve(Mlu, (d * x).astype(dt))
+        y = _msolve32((d * x).astype(dt))
         return d * y.astype(x.dtype)
 
-    Y = d[:, None] * jax.scipy.linalg.lu_solve(
-        Mlu, (d[:, None] * B).astype(dt)).astype(M.dtype)  # M^{-1} B f64
+    Y = d[:, None] * _msolve32(
+        (d[:, None] * B).astype(dt)).astype(M.dtype)  # M^{-1} B f64
     S = B.T @ Y
     R = B.shape[1]
     # gamma=0 (graddiv study): 1/gamma -> huge diagonal makes

@@ -81,3 +81,29 @@ def test_make_device_mesh_refuses_truncation():
     n = len(jax.devices())
     with pytest.raises(RuntimeError):
         make_device_mesh(n + 1)
+
+
+def test_load_balance_report(capsys):
+    """The reference's load_balance analogue: per-device owned cells and
+    fine-level velocity dofs, balanced within a reasonable ratio by the
+    coarse partition."""
+    import numpy as np
+
+    from alfi_tpu import ConstantPressureSolver
+    from alfi_tpu.parallel.distributed import DistributedSolver
+    from alfi_tpu.parallel.sharding import make_device_mesh
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    s = ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(8), nref=1, k=2,
+        solver_type="almg", hierarchy="uniform", verbose=False)
+    dist = DistributedSolver(s, make_device_mesh(4))
+    stats = dist.load_balance()
+    out = capsys.readouterr().out
+    assert "Load balance" in out
+    for name, c in stats.items():
+        assert c.sum() > 0
+        assert len(c) == 4
+        # partition is balanced (generous bound: coarse blocks on a
+        # small mesh)
+        assert c.max() <= 3 * max(1, c.min()), (name, c)
