@@ -42,13 +42,11 @@ _pc_dtype = None
 
 
 def pc_dtype():
-    """dtype used for all dense FACTORISATIONS (patch LU, coarse LU, full
-    LU) and the MG preconditioner hot loops.
-
-    TPU XLA only implements LuDecomposition in f32 (v5e/v5p), and f64
-    arithmetic is emulated anyway — so on accelerators every factorisation
-    runs in f32 and f64 accuracy is recovered by iterative refinement /
-    the outer flexible Krylov loop.  On CPU (tests) we keep f64."""
+    """dtype of the DG pressure-mass inversion (its only remaining user
+    — the patch/coarse factorisation strategy lives in
+    solvers/batched_lu.py get_factorization and
+    solvers/linear.py woodbury_refined_dense_closure): f32 inversion +
+    f64 Newton-Schulz refinement on accelerators, plain f64 on CPU."""
     global _pc_dtype
     if _pc_dtype is None:
         env = os.environ.get("ALFI_TPU_PC_DTYPE")
