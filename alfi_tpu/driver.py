@@ -86,7 +86,13 @@ def get_solver(args, problem, hierarchy_callback=None):
 def performance_info(solver):
     """Per-event timing report, mirroring
     /root/reference/alfi/driver.py:77-92 with the same metric
-    (time and time-per-1k-dofs, sorted by cost)."""
+    (time and time-per-1k-dofs, sorted by cost).  The host-timed
+    events (SNESSolve/KSPSolve/SNESFunctionEval) come from the solve
+    loop; the intra-jit events (PCPATCHSolve, SchoeberlProlong, ...)
+    are measured per-op by solver.micro_events and scaled by their
+    exact invocation counts."""
+    if hasattr(solver, "micro_events"):
+        solver.micro_events()
     print(BLUE % "Some performance info:")
     ndofs = solver.Z.dim
     rows = sorted(EVENTS.items(), key=lambda kv: -kv[1]["time"])

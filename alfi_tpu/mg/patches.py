@@ -500,15 +500,19 @@ def build_patch_solver(patchset):
     return factor, apply
 
 
-def woodbury_effective_gamma(gamma, S, safety=0.03, eps32=1.2e-7):
+def woodbury_effective_gamma(gamma, S, safety=0.03, eps32=1.2e-7,
+                             snorm=None):
     """Clamp gamma so the capacitance lambda_min = 1/gamma stays above
     the f32 round-off floor of |S| = |B^T M^-1 B| — adaptive (scale-
     aware), so well-scaled operators keep the exact gamma far beyond any
     fixed cap while badly-scaled ones degrade gracefully instead of
-    producing a singular C."""
+    producing a singular C.  ``snorm`` overrides the max|S| (the
+    distributed path passes the pmax over the device mesh so every
+    block clamps identically)."""
     import jax.numpy as jnp
 
-    snorm = jnp.max(jnp.abs(S))
+    if snorm is None:
+        snorm = jnp.max(jnp.abs(S))
     cap = safety / (eps32 * (snorm + 1e-30))
     return jnp.minimum(gamma.astype(S.dtype), cap.astype(S.dtype))
 

@@ -163,6 +163,22 @@ class VelocityMG:
                 SchoeberlTransfer(self, l) for l in range(self.nlevels - 1)
             ]
 
+        # coarse-solve strategy: dense factorisation up to the v5e
+        # dense-memory cap, then the telescoped host sparse LU (the
+        # SuperLU_dist analogue — solvers/host_coarse.py) so reference
+        # bfs coarse meshes work as hierarchy bases
+        import os as _os
+
+        lev0 = self.levels[0]
+        N0d = lev0.V.ndof * d
+        cap = int(_os.environ.get("ALFI_TPU_DENSE_COARSE_MAX", "13000"))
+        self._host_coarse = None
+        if N0d > cap:
+            from ..solvers.host_coarse import HostSparseCoarse
+
+            self._host_coarse = HostSparseCoarse(
+                np.asarray(lev0.rows), N0d, np.asarray(lev0.mask_flat))
+
         # ------------------------------------------------------------
         # stabilisation in the LEVEL OPERATORS: the reference assembles
         # its PCMG/PCPatch operators from the full stabilised Jacobian
@@ -254,6 +270,14 @@ class VelocityMG:
         gamma = params["gamma"]
         wb = self.use_woodbury
         stab_active = self.stab is not None and p_fine is not None
+        if self.stab is not None and p_fine is None:
+            import warnings
+
+            warnings.warn(
+                "VelocityMG.setup called without p_fine while "
+                "stabilised level operators are wired: the cycle being "
+                "built OMITS the stabilisation terms and is not the "
+                "production preconditioner", stacklevel=2)
         if stab_active:
             press = [None] * self.nlevels
             press[-1] = p_fine
@@ -329,15 +353,19 @@ class VelocityMG:
         from ..solvers.linear import (
             assemble_dense_from_tensors,
             assemble_dense_graddiv_factors,
-            woodbury_dense_closure,
+            woodbury_dense_factor,
         )
 
         lev0 = self.levels[0]
-        if wb:
+        if self._host_coarse is not None:
+            # telescoped host sparse LU: factor per Newton step (cached
+            # by fingerprint on the host), solves via pure_callback
+            coarse_fac = {"host": tensors[0]}
+        elif wb:
             M0 = assemble_dense_from_tensors(lev0.form, tensors_M[0],
                                              lev0.mask_u)
             B0 = assemble_dense_graddiv_factors(lev0.form, lev0.mask_u)
-            coarse_solve = woodbury_dense_closure(M0, B0, gamma)
+            coarse_fac = {"wb": woodbury_dense_factor(M0, B0, gamma)}
         else:
             from ..solvers.batched_lu import (
                 get_factorization,
@@ -348,28 +376,24 @@ class VelocityMG:
                 # TPU: gamma-split f32 LU + f64 iterative refinement —
                 # replaces the ~600 ms/Newton-step emulated f64 QR
                 from ..solvers.linear import (
-                    woodbury_refined_dense_closure,
+                    woodbury_refined_dense_factor,
                 )
 
                 M0 = assemble_dense_from_tensors(
                     lev0.form, M_tensors0, lev0.mask_u)
                 B0 = assemble_dense_graddiv_factors(lev0.form,
                                                     lev0.mask_u)
-                coarse_solve = woodbury_refined_dense_closure(
-                    M0, B0, gamma)
+                coarse_fac = {"wbir": woodbury_refined_dense_factor(
+                    M0, B0, gamma)}
             else:
                 A0 = assemble_dense_from_tensors(lev0.form, tensors[0],
                                                  lev0.mask_u)
-                fac0 = get_factorization().factor(A0)
-                fs = get_factorization()
-
-                def coarse_solve(b):
-                    return fs.solve(fac0, b)
+                coarse_fac = {"lu": get_factorization().factor(A0)}
 
         state = {
             "tensors": tensors,
             "patch_lufacs": patch_lufacs,
-            "coarse_solve": coarse_solve,
+            "coarse_fac": coarse_fac,
         }
         if self.schoeberl is not None:
             state["schoeberl"] = (schoeberl_state
@@ -444,9 +468,27 @@ class VelocityMG:
         return lam
 
     # ------------------------------------------------------------------
+    def coarse_apply(self, fac, bflat):
+        """Apply the coarse factor (arrays-only state whose dict
+        structure encodes the path: direct / gamma-split f32 /
+        gamma-split + f64 iterative refinement)."""
+        if "host" in fac:
+            return self._host_coarse.solve(fac["host"], bflat)
+        if "lu" in fac:
+            from ..solvers.batched_lu import get_factorization
+
+            return get_factorization().solve(fac["lu"], bflat)
+        if "wb" in fac:
+            from ..solvers.linear import woodbury_dense_apply
+
+            return woodbury_dense_apply(fac["wb"], bflat)
+        from ..solvers.linear import woodbury_refined_dense_apply
+
+        return woodbury_refined_dense_apply(fac["wbir"], bflat)
+
     def _coarse_solve(self, state, r):
         lev0 = self.levels[0]
-        x = state["coarse_solve"](r.reshape(-1))
+        x = self.coarse_apply(state["coarse_fac"], r.reshape(-1))
         return (x.reshape(-1, self.d) * lev0.mask_u
                 + (1.0 - lev0.mask_u) * r)
 

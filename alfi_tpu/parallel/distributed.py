@@ -35,6 +35,7 @@ from ..solvers.krylov import ShardDotContext, fgmres
 from ..solvers.batched_lu import get_factorization
 from .decompose import (
     LevelDecomp,
+    _pad_rows_list,
     coarse_partition,
     expand_halo,
     propagate_blocks,
@@ -47,6 +48,19 @@ _I32 = jnp.int32
 
 def _j(a, dtype=None):
     return jnp.asarray(np.asarray(a), dtype=dtype)
+
+
+class _PatchSubset:
+    """Row-sliced view of a PatchSet (one color of a multiplicative
+    sweep) with the interface split_patchset needs."""
+
+    def __init__(self, ps, sel):
+        self.m = ps.m
+        self.nflat = ps.nflat
+        self.dofs = ps.dofs[sel]
+        self.cells = ps.cells[sel]
+        self.l2p = ps.l2p[sel]
+        self.active = ps.active[sel]
 
 
 class DistributedSolver:
@@ -63,12 +77,31 @@ class DistributedSolver:
     def __init__(self, solver, mesh, axis="mesh", halo_layers=2):
         if solver.solver_type != "almg":
             raise ValueError("DistributedSolver requires solver_type=almg")
+        self.stab = None
         if solver.stabilisation is not None:
-            raise NotImplementedError(
-                "distributed stabilisation not implemented yet")
-        if getattr(solver.vmg, "use_woodbury", False):
-            raise NotImplementedError(
-                "distributed Woodbury patch solves not implemented yet")
+            from ..stabilisation import ShakibSUPG
+
+            if not isinstance(solver.stabilisation.impl, ShakibSUPG):
+                raise NotImplementedError(
+                    "distributed Burman stabilisation not implemented "
+                    "yet (interior-facet jump terms need a facet "
+                    "exchange)")
+            if getattr(solver.vmg, "stab", None) is None:
+                raise NotImplementedError(
+                    "distributed stabilisation requires the stabilised "
+                    "level operators (VelocityMG.stab) to be wired")
+            # per-level StabilisationWrappers, mirroring the
+            # single-device PC assembly (mg/velocity.py setup)
+            self.stab = solver.vmg.stab
+        #: gamma-split f32 patch/coarse solves (mirrors
+        #: VelocityMG.use_woodbury; the pmax'd gamma clamp keeps every
+        #: block's capacitance identical to the global one)
+        self.use_woodbury = bool(getattr(solver.vmg, "use_woodbury",
+                                         False))
+        #: ordered multiplicative sweeps as per-color additive sub-sweeps
+        #: with halo exchange between colors
+        self.multiplicative = (getattr(solver, "patch_composition",
+                                       "additive") == "multiplicative")
         self.solver = solver
         self.mesh = mesh
         self.axis = axis
@@ -155,7 +188,7 @@ class DistributedSolver:
             (lev.lcd[:, :, :, None] * d
              + np.arange(d)[None, None, None, :]).reshape(
                  lev.nb, lev.mc, -1))
-        return dict(
+        out = dict(
             lcd=_j(lev.lcd, _I32), rows=_j(rows, _I32),
             owned=_j(lev.owned_cell), live=_j(live),
             jinv=_j(jinv, real_dtype), detj=_j(detj, real_dtype),
@@ -163,6 +196,29 @@ class DistributedSolver:
             mask=_j(mask, real_dtype), ownerw=_j(ownerw, real_dtype),
             lidx=_j(lev.lidx, _I32), sslot=_j(lev.sslot, _I32),
         )
+        if self.stab is not None:
+            # localized stabilisation statics (basis hessians, pressure
+            # test gradients, cell sizes, quad points) for the
+            # stabilised level operators / patch matrices
+            im = self.stab[l].impl
+
+            def lloc(arr, fill=0.0):
+                a = np.asarray(arr)[cells]
+                m = live.reshape(live.shape + (1,) * (a.ndim - 2))
+                return np.where(m, a, fill)
+
+            out["hess"] = _j(lloc(im.hess), real_dtype)
+            out["gq"] = _j(lloc(im.gq), real_dtype)
+            out["h"] = _j(np.where(live, np.asarray(im.h)[cells], 1.0),
+                          real_dtype)
+            if im.form.rhs is not None:
+                xq_g = np.asarray(im.form.geom.quad_points_physical(
+                    im.form.tab_v.ref_pts))
+                out["xq"] = _j(lloc(xq_g), real_dtype)
+            else:
+                out["xq"] = _j(np.zeros(
+                    (lev.nb, lev.mc, im.form.tab_v.nq, d)), real_dtype)
+        return out
 
     def _build_local_arrays(self):
         vmg = self.vmg
@@ -171,9 +227,11 @@ class DistributedSolver:
         loc = {}
         loc["lev"] = [self._level_arrays(l) for l in range(self.nlevels)]
 
-        # smoother patches (levels 1..): seed-vertex block assignment
+        # smoother patches (levels 1..): seed-vertex block assignment;
+        # one patch group per sweep color (additive = one group of all)
         loc["patch"] = []
         self._patch_meta = []
+        direction = self.solver.problem.relaxation_direction()
         for l in range(1, self.nlevels):
             lev = self.levs[l]
             mesh_l = mh[l]
@@ -197,11 +255,26 @@ class DistributedSolver:
                                               dtype=np.int64),
                                     mesh_l.cells.shape[1]))
             patch_block = self.blocks[l][vowner[seeds]]
-            sp = split_patchset(ps, patch_block, lev)
-            self._patch_meta.append((sp["m"], sp["npm"]))
-            loc["patch"].append(dict(
-                pdofs=_j(sp["pdofs"], _I32), pcells=_j(sp["pcells"], _I32),
-                pl2p=_j(sp["pl2p"], _I32), pactive=_j(sp["pactive"])))
+            if self.multiplicative:
+                from ..mg.patches import color_patchset
+
+                colors, ncolors = color_patchset(ps, direction)
+                groups = [np.where(colors == c)[0]
+                          for c in range(ncolors)]
+            else:
+                groups = [np.arange(ps.npatches)]
+            gdicts, gmeta = [], []
+            for sel in groups:
+                sp = split_patchset(_PatchSubset(ps, sel),
+                                    patch_block[sel], lev)
+                gmeta.append((sp["m"], sp["npm"]))
+                gdicts.append(dict(
+                    pdofs=_j(sp["pdofs"], _I32),
+                    pcells=_j(sp["pcells"], _I32),
+                    pl2p=_j(sp["pl2p"], _I32),
+                    pactive=_j(sp["pactive"])))
+            self._patch_meta.append(gmeta)
+            loc["patch"].append(gdicts)
 
         # Schoeberl transfer patches + skeleton masks per pair
         loc["sch"] = []
@@ -278,6 +351,58 @@ class DistributedSolver:
             xq=_j(xq, real_dtype))
         self._q_total = int(Q.ndof)
 
+        if self.stab is not None:
+            # ---- stabilised-PC plumbing ----
+            # (a) fine-level CELL exchange: halo cells read the P0
+            # pressure from their owner block (one packed psum; owner
+            # slots are the first mco of cells_pad)
+            ncells = mh[-1].num_cells
+            cnt = np.zeros(ncells, dtype=np.int64)
+            for b in range(nb):
+                lc = levf.cells_pad[b][levf.cells_pad[b] >= 0]
+                cnt[lc] += 1
+            shared = np.where(cnt >= 2)[0]
+            ncs = len(shared)
+            slot = np.full(ncells, -1, dtype=np.int64)
+            slot[shared] = np.arange(ncs)
+            cl_l, cs_l = [], []
+            for b in range(nb):
+                cp = levf.cells_pad[b]
+                sl = np.where(cp >= 0, slot[np.clip(cp, 0, None)], -1)
+                ii = np.where(sl >= 0)[0]
+                cl_l.append(ii)
+                cs_l.append(sl[ii])
+            pcl = _pad_rows_list(cl_l, levf.mc)
+            pcs = _pad_rows_list(cs_l, ncs)
+            pco = np.zeros(pcl.shape, dtype=bool)
+            for b in range(nb):
+                pco[b, : len(cl_l[b])] = cl_l[b] < levf.mco
+            self._pstab_ncs = ncs
+            loc["pstab"] = dict(cl=_j(pcl, _I32), cs=_j(pcs, _I32),
+                                co=_j(pco))
+            # (b) localized coarse->fine cell maps for the per-level P0
+            # pressure restriction (children of any live local cell are
+            # local by lineage construction)
+            loc["c2f"] = []
+            for l in range(self.nlevels - 1):
+                c2f = np.asarray(mh.coarse_to_fine_cells(l))
+                levc, levn = self.levs[l], self.levs[l + 1]
+                rows_l = np.full((nb, levc.mc) + c2f.shape[1:],
+                                 levn.mc, dtype=np.int64)
+                for b in range(nb):
+                    cp = levc.cells_pad[b]
+                    livec = cp >= 0
+                    gl = c2f[np.clip(cp, 0, None)]
+                    c2l = np.full(mh[l + 1].num_cells, levn.mc,
+                                  dtype=np.int64)
+                    lv2 = levn.cells_pad[b] >= 0
+                    c2l[levn.cells_pad[b][lv2]] = np.where(lv2)[0]
+                    lr = c2l[gl]
+                    assert np.all(lr[livec] < levn.mc), (
+                        "children of live local cells must be local")
+                    rows_l[b][livec] = lr[livec]
+                loc["c2f"].append(_j(rows_l, _I32))
+
         # coarse dense solve tables
         lev0 = self.levs[0]
         V0 = vmg.levels[0].V
@@ -295,6 +420,17 @@ class DistributedSolver:
         gflat = np.concatenate(
             [gflat, np.full((nb, 1, d), N0d, dtype=np.int64)], axis=1)
         loc["coarse"] = dict(rows=_j(rows0, _I32), gflat=_j(gflat, _I32))
+        if self.use_woodbury:
+            # dense grad-div factor columns (global cell id * q + j) for
+            # the replicated gamma-split coarse solve
+            q0 = int(np.asarray(
+                vmg.levels[0].form.graddiv_factors()).shape[-1])
+            R0 = V0.mesh.num_cells * q0
+            self._coarse_R0 = R0
+            cols = (lev0.cells_pad[:, :, None] * q0
+                    + np.arange(q0)[None, None, :])
+            cols = np.where(lev0.dead[:, :, None], R0, cols)
+            loc["coarse"]["bcols"] = _j(cols, _I32)
         self._mask0_flat = _j(
             np.asarray(self.vmg.levels[0].mask_flat), real_dtype)
 
@@ -315,6 +451,18 @@ class DistributedSolver:
         r = r.at[lv["lidx"]].set(buf[lv["sslot"]])
         return r.at[L].set(0.0)
 
+    def _exchange_cells(self, pst, pcell):
+        """Fill halo-cell entries of a per-cell scalar array (mc+1, with
+        a zero dump row) from the owner block via one packed psum (cells
+        are uniquely owned: only owner slots contribute)."""
+        ncs = self._pstab_ncs
+        buf = jnp.zeros((ncs + 1,), dtype=pcell.dtype)
+        contrib = jnp.where(pst["co"], pcell[pst["cl"]], 0.0)
+        buf = buf.at[pst["cs"]].add(contrib)
+        buf = lax.psum(buf, self.axis)
+        pcell = pcell.at[pst["cl"]].set(buf[pst["cs"]])
+        return pcell.at[-1].set(0.0)
+
     def _level_matvec(self, lv, T, v):
         """Masked velocity operator on (L+1, d) local arrays."""
         mask = lv["mask"]
@@ -328,10 +476,21 @@ class DistributedSolver:
         out = self._exchange(lv, out)
         return mask * out + (1.0 - mask) * v
 
-    def _tensors(self, lv, form, w_u, params):
+    def _tensors(self, lv, form, w_u, params, stab=None):
+        """Block-local velocity element tensors; with ``stab`` =
+        (impl, press (mc+1,), fwind (L+1, d), aux) the stabilised
+        Jacobian terms are added at advect scale, mirroring the
+        single-device VelocityMG.setup stab wiring."""
         w_loc = w_u[lv["lcd"]]
         T = form.velocity_element_tensors_from(
             params, w_loc, lv["jinv"], lv["detj"], lv["Bt"])
+        if stab is not None:
+            im, press, fwind, aux = stab
+            Ts = im.velocity_element_tensors_from(
+                params, w_loc, press[:-1][:, None], fwind[lv["lcd"]],
+                lv["jinv"], lv["detj"], lv["hess"], lv["gq"], lv["h"],
+                lv["xq"], aux)
+            T = T + params["advect"] * Ts
         return jnp.where(lv["live"][:, None, None], T, 0.0)
 
     def _patch_factor(self, pa, T, m):
@@ -364,6 +523,94 @@ class DistributedSolver:
         def pc(r):
             rf = (mask * r).reshape(-1)
             x = self._patch_apply(lv, pa, fac, rf, r.dtype)
+            return mask * x + (1.0 - mask) * r
+
+        return pc
+
+    # ---------------- gamma-split (Woodbury) patch solves ----------------
+    def _patch_factor_woodbury(self, lv, pa, T_M, m, gamma):
+        """f32 gamma-split factorisation of the block's patches from the
+        gamma-free tensors (mirrors mg/patches.py
+        build_patch_solver_woodbury; the gamma clamp uses the pmax'd
+        |S| so every block matches the global clamp)."""
+        import jax.scipy.linalg as jsl
+
+        from ..mg.patches import woodbury_effective_gamma
+
+        dt = jnp.float32
+        Tpad = jnp.concatenate(
+            [T_M, jnp.zeros((1,) + T_M.shape[1:], dtype=T_M.dtype)],
+            axis=0)
+        Btpad = jnp.concatenate(
+            [lv["Bt"], jnp.zeros((1,) + lv["Bt"].shape[1:],
+                                 dtype=lv["Bt"].dtype)], axis=0)
+        npm, mcp = pa["pcells"].shape
+        q = lv["Bt"].shape[-1]
+
+        def one(cells_p, l2p_p, act_p):
+            Tt = Tpad[cells_p]
+            A = jnp.zeros((m + 1, m + 1), dtype=T_M.dtype)
+            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(Tt)
+            A = A[:m, :m] + jnp.diag(
+                jnp.where(act_p, 0.0, 1.0).astype(T_M.dtype))
+            Bc = Btpad[cells_p]  # (mcp, nld, q)
+            Z = jnp.zeros((m + 1, mcp, q), dtype=Bc.dtype)
+            j_idx = jnp.broadcast_to(jnp.arange(mcp)[:, None],
+                                     l2p_p.shape)
+            Bp = Z.at[l2p_p, j_idx].add(Bc)[:m].reshape(m, mcp * q)
+            return A, Bp
+
+        Mp, Bp = jax.vmap(one)(pa["pcells"], pa["pl2p"], pa["pactive"])
+        Mp, Bp = Mp.astype(dt), Bp.astype(dt)
+        Mlu = jsl.lu_factor(Mp)
+        Y = jsl.lu_solve(Mlu, Bp)
+        S = jnp.einsum("pmr,pms->prs", Bp, Y)
+        snorm = lax.pmax(jnp.max(jnp.abs(S)), self.axis)
+        geff = woodbury_effective_gamma(gamma, S, snorm=snorm)
+        C = jnp.eye(mcp * q, dtype=dt) / geff + S
+        Clu = jsl.lu_factor(C)
+        return {"Mlu": Mlu, "Clu": Clu, "Y": Y, "Bp": Bp}
+
+    def _patch_apply_woodbury(self, lv, pa, fac, r_flat, dtype):
+        import jax.scipy.linalg as jsl
+
+        rp = r_flat[pa["pdofs"]].astype(jnp.float32)
+        y = jsl.lu_solve(fac["Mlu"], rp[..., None])[..., 0]
+        t = jnp.einsum("pmr,pm->pr", fac["Bp"], y)
+        s = jsl.lu_solve(fac["Clu"], t[..., None])[..., 0]
+        xp = y - jnp.einsum("pmr,pr->pm", fac["Y"], s)
+        xp = jnp.where(pa["pactive"], xp, 0.0).astype(dtype)
+        out = jnp.zeros((r_flat.shape[0],), dtype=dtype)
+        out = out.at[pa["pdofs"]].add(xp)
+        return self._exchange(lv, out.reshape(-1, self.d))
+
+    def _patch_pc_wb(self, lv, pa, fac):
+        mask = lv["mask"]
+
+        def pc(r):
+            rf = (mask * r).reshape(-1)
+            x = self._patch_apply_woodbury(lv, pa, fac, rf, r.dtype)
+            return mask * x + (1.0 - mask) * r
+
+        return pc
+
+    # ---------------- multiplicative color sweeps ----------------
+    def _patch_pc_mult(self, lv, pas, facs, T, symmetrise=True):
+        """Ordered multiplicative sweep: per-color additive sub-sweeps
+        with block-local residual updates and halo exchange between
+        colors (mirrors mg/patches.py build_multiplicative_solver)."""
+        mask = lv["mask"]
+
+        def pc(r):
+            b = mask * r
+            x = jnp.zeros_like(b)
+            seq = list(range(len(pas)))
+            if symmetrise:
+                seq = seq + seq[::-1]
+            for i, c in enumerate(seq):
+                rr = b if i == 0 else b - self._level_matvec(lv, T, x)
+                x = x + self._patch_apply(lv, pas[c], facs[c],
+                                          rr.reshape(-1), r.dtype)
             return mask * x + (1.0 - mask) * r
 
         return pc
@@ -416,35 +663,108 @@ class DistributedSolver:
     # ------------------------------------------------------------------
     # device: the MG cycle (mirrors mg/velocity.py on local arrays)
     # ------------------------------------------------------------------
-    def _mg_setup(self, loc, u_fine, params):
+    def _mg_setup(self, loc, z, wloc, params):
         nl = self.nlevels
+        u_fine, p_fine = z
         winds = [None] * nl
         winds[-1] = u_fine
         for l in range(nl - 2, -1, -1):
             winds[l] = self._inject(loc["inj"][l], winds[l + 1])
-        tensors = [
-            self._tensors(loc["lev"][l], self.vmg.levels[l].form,
-                          winds[l], params)
-            for l in range(nl)
-        ]
-        patch_facs = [
-            self._patch_factor(loc["patch"][l - 1], tensors[l],
-                               self._patch_meta[l - 1][0])
-            for l in range(1, nl)
-        ]
+        stab_ctx = [None] * nl
+        if self.stab is not None:
+            # P0 pressure per LOCAL cell at every level: owner fill +
+            # one cell exchange at the fine level, then local c2f means
+            # down the hierarchy (children of live cells are local)
+            lvf = loc["lev"][-1]
+            mc_f = lvf["live"].shape[0]
+            pcell = jnp.zeros((mc_f + 1,), dtype=u_fine.dtype)
+            pcell = pcell.at[: p_fine.shape[0]].set(p_fine[:, 0])
+            pcell = self._exchange_cells(loc["pstab"], pcell)
+            press = [None] * nl
+            press[-1] = pcell
+            for l in range(nl - 2, -1, -1):
+                pl = jnp.mean(press[l + 1][loc["c2f"][l]], axis=-1)
+                press[l] = jnp.concatenate(
+                    [pl, jnp.zeros((1,), dtype=pl.dtype)])
+            # frozen (z_last) wind injected per level, like the live one
+            fwinds = [None] * nl
+            fwinds[-1] = wloc
+            for l in range(nl - 2, -1, -1):
+                fwinds[l] = self._inject(loc["inj"][l], fwinds[l + 1])
+            for l in range(nl):
+                im = self.stab[l].impl
+                lv = loc["lev"][l]
+                part = im.aux_partial(fwinds[l][lv["lcd"]], lv["detj"],
+                                      lv["owned"])
+                aux = (lax.psum(part, self.axis) / im._domain_measure
+                       if part is not None else 0.0)
+                stab_ctx[l] = (im, press[l], fwinds[l], aux)
+        gamma = params["gamma"]
+        if self.use_woodbury:
+            # gamma-split: factor from the gamma-free tensors, apply the
+            # full operator (tensors already include gamma G via Bt)
+            params_M = dict(params)
+            params_M["gamma"] = jnp.zeros_like(gamma)
+            tensors_M = [
+                self._tensors(loc["lev"][l], self.vmg.levels[l].form,
+                              winds[l], params_M, stab=stab_ctx[l])
+                for l in range(nl)
+            ]
+            tensors = [
+                tM + gamma * jnp.einsum(
+                    "cip,cjp->cij", loc["lev"][l]["Bt"],
+                    loc["lev"][l]["Bt"])
+                for l, tM in enumerate(tensors_M)
+            ]
+            patch_facs = [
+                [self._patch_factor_woodbury(
+                    loc["lev"][l], pa, tensors_M[l], meta[0], gamma)
+                 for pa, meta in zip(loc["patch"][l - 1],
+                                     self._patch_meta[l - 1])]
+                for l in range(1, nl)
+            ]
+        else:
+            tensors = [
+                self._tensors(loc["lev"][l], self.vmg.levels[l].form,
+                              winds[l], params, stab=stab_ctx[l])
+                for l in range(nl)
+            ]
+            patch_facs = [
+                [self._patch_factor(pa, tensors[l], meta[0])
+                 for pa, meta in zip(loc["patch"][l - 1],
+                                     self._patch_meta[l - 1])]
+                for l in range(1, nl)
+            ]
         # replicated dense coarse factorisation (telescope analogue)
         lv0 = loc["lev"][0]
         N0d = self.N0d
-        T0 = jnp.where(lv0["owned"][:, None, None], tensors[0], 0.0)
         rows = loc["coarse"]["rows"]
-        A = jnp.zeros((N0d + 1, N0d + 1), dtype=T0.dtype)
-        A = A.at[rows[:, :, None], rows[:, None, :]].add(T0)
-        A = lax.psum(A[:N0d, :N0d], self.axis)
         m0 = self._mask0_flat
-        A = m0[:, None] * A * m0[None, :] + jnp.diag(1.0 - m0)
-        coarse_fac = self.fs_dense.factor(A)
+
+        def dense0(T0loc):
+            T0 = jnp.where(lv0["owned"][:, None, None], T0loc, 0.0)
+            A = jnp.zeros((N0d + 1, N0d + 1), dtype=T0.dtype)
+            A = A.at[rows[:, :, None], rows[:, None, :]].add(T0)
+            A = lax.psum(A[:N0d, :N0d], self.axis)
+            return m0[:, None] * A * m0[None, :] + jnp.diag(1.0 - m0)
+
+        if self.use_woodbury:
+            from ..solvers.linear import woodbury_dense_closure
+
+            M0 = dense0(tensors_M[0])
+            # dense grad-div factor matrix, columns = global cell * q
+            bc = loc["coarse"]["bcols"]
+            Bt0 = jnp.where(lv0["owned"][:, None, None], lv0["Bt"], 0.0)
+            R0 = self._coarse_R0
+            B = jnp.zeros((N0d + 1, R0 + 1), dtype=Bt0.dtype)
+            B = B.at[rows[:, :, None], bc[:, None, :]].add(Bt0)
+            B = lax.psum(B[:N0d, :R0], self.axis)
+            B = m0[:, None] * B
+            coarse_state = woodbury_dense_closure(M0, B, gamma)
+        else:
+            coarse_state = self.fs_dense.factor(dense0(tensors[0]))
         return dict(tensors=tensors, patch_facs=patch_facs,
-                    coarse_fac=coarse_fac)
+                    coarse_fac=coarse_state)
 
     def _coarse_solve(self, loc, state, r):
         lv0 = loc["lev"][0]
@@ -453,7 +773,10 @@ class DistributedSolver:
         rg = jnp.zeros((N0d + 1,), dtype=r.dtype)
         rg = rg.at[gflat].add(r * lv0["ownerw"])
         rg = lax.psum(rg[:N0d], self.axis)
-        x = self.fs_dense.solve(state["coarse_fac"], rg)
+        if self.use_woodbury:
+            x = state["coarse_fac"](rg)
+        else:
+            x = self.fs_dense.solve(state["coarse_fac"], rg)
         xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
         xl = xp[jnp.where(gflat < N0d, gflat, N0d)]
         mask = lv0["mask"]
@@ -462,8 +785,14 @@ class DistributedSolver:
     def _smooth(self, loc, state, l, b, x0):
         lv = loc["lev"][l]
         T = state["tensors"][l]
-        pc = self._patch_pc(lv, loc["patch"][l - 1],
-                            state["patch_facs"][l - 1])
+        pas = loc["patch"][l - 1]
+        facs = state["patch_facs"][l - 1]
+        if self.multiplicative:
+            pc = self._patch_pc_mult(lv, pas, facs, T)
+        elif self.use_woodbury:
+            pc = self._patch_pc_wb(lv, pas[0], facs[0])
+        else:
+            pc = self._patch_pc(lv, pas[0], facs[0])
         ctx = ShardDotContext(lv["ownerw"], self.axis)
 
         def A(v):
@@ -519,7 +848,7 @@ class DistributedSolver:
     # ------------------------------------------------------------------
     # device: mixed residual / Schur PC on local arrays
     # ------------------------------------------------------------------
-    def _mixed_residual(self, loc, z, params):
+    def _mixed_residual(self, loc, z, params, wloc):
         form = self.solver.form
         lv = loc["lev"][-1]
         mix = loc["mix"]
@@ -533,6 +862,23 @@ class DistributedSolver:
         )(u_cells, p, lv["jinv"][:mco], lv["detj"][:mco],
           lv["vol"][:mco], mix["xq"])
         live = mix["validq"][:, :1]  # (mco, 1)
+        if self.stab is not None:
+            # owned-cells SUPG/GLS residual (the residual_hook analogue:
+            # advect-scaled, live-state beta/Lu, frozen GLS wind)
+            im = self.stab[-1].impl
+            w_cells = wloc[lcd_o]
+            part = im.aux_partial(w_cells, lv["detj"][:mco],
+                                  lv["owned"][:mco])
+            aux = (lax.psum(part, self.axis) / im._domain_measure
+                   if part is not None else 0.0)
+            rv_s, rq_s = im.residual_local(
+                u_cells, p, w_cells, lv["jinv"][:mco],
+                lv["detj"][:mco], lv["hess"][:mco], lv["gq"][:mco],
+                lv["h"][:mco], mix["xq"], params, aux)
+            advect = params["advect"]
+            rv = rv + advect * rv_s
+            if rq_s is not None:
+                rq = rq + advect * rq_s
         rv = jnp.where(live[:, :, None], rv, 0.0)
         rq = jnp.where(mix["validq"], rq, 0.0)
         L1d = u.shape[0] * u.shape[1]
@@ -542,9 +888,9 @@ class DistributedSolver:
         Rv = self._exchange(lv, Rv)
         return (Rv, rq)
 
-    def _residual_masked(self, loc, z, params):
+    def _residual_masked(self, loc, z, params, wloc):
         lv = loc["lev"][-1]
-        Rv, Rq = self._mixed_residual(loc, z, params)
+        Rv, Rq = self._mixed_residual(loc, z, params, wloc)
         return (lv["mask"] * Rv, loc["mix"]["pmask"] * Rq)
 
     def _apply_divergence(self, loc, t):
@@ -630,14 +976,14 @@ class DistributedSolver:
                 out.append(dict(fac=fac, gamma=params["gamma"]))
             return jax.tree.map(lambda a: a[None], out)
 
-        def lin_body(loc, z, F, params, tstate):
+        def lin_body(loc, z, F, params, tstate, wloc):
             loc, z, F = strip(loc), strip(z), strip(F)
-            tstate = strip(tstate)
+            tstate, wloc = strip(tstate), strip(wloc)
             self._annotate_ns(loc)
             lvf = loc["lev"][-1]
             mix = loc["mix"]
 
-            state = self._mg_setup(loc, z[0], params)
+            state = self._mg_setup(loc, z, wloc, params)
 
             def solve_A(rv):
                 return self._fmg(loc, state, tstate, rv)
@@ -657,7 +1003,7 @@ class DistributedSolver:
             # Jacobian action: jvp of the local residual (the psum
             # exchanges are linear, so this matches the global Jacobian)
             def res(zz):
-                return self._mixed_residual(loc, zz, params)
+                return self._mixed_residual(loc, zz, params, wloc)
 
             _, jvp = jax.linearize(res, z)
             pmask = mix["pmask"]
@@ -687,10 +1033,10 @@ class DistributedSolver:
             return (jax.tree.map(lambda a: a[None], dz),
                     info["iters"][None])
 
-        def res_body(loc, z, params):
-            loc, z = strip(loc), strip(z)
+        def res_body(loc, z, params, wloc):
+            loc, z, wloc = strip(loc), strip(z), strip(wloc)
             self._annotate_ns(loc)
-            F = self._residual_masked(loc, z, params)
+            F = self._residual_masked(loc, z, params, wloc)
             lvf = loc["lev"][-1]
             weight = (lvf["ownerw"],
                       loc["mix"]["validq"].astype(real_dtype))
@@ -714,10 +1060,11 @@ class DistributedSolver:
             out_specs=spec_b, check_vma=False))
         self._lin_sm = jax.jit(shard_map(
             lin_body, mesh=mesh,
-            in_specs=(spec_b, spec_b, spec_b, spec_r, spec_b),
+            in_specs=(spec_b, spec_b, spec_b, spec_r, spec_b, spec_b),
             out_specs=(spec_b, spec_b), check_vma=False))
         self._res_sm = jax.jit(shard_map(
-            res_body, mesh=mesh, in_specs=(spec_b, spec_b, spec_r),
+            res_body, mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_r, spec_b),
             out_specs=(spec_b, spec_b), check_vma=False))
         self._norms_sm = jax.jit(shard_map(
             norms_body, mesh=mesh, in_specs=(spec_b, spec_b, spec_b),
@@ -753,22 +1100,35 @@ class DistributedSolver:
                                         mx / max(1, mn)))
         return stats
 
-    def residual(self, z, params):
+    def _zero_wind(self):
+        if getattr(self, "_wind0", None) is None:
+            levf = self.levs[-1]
+            sh = NamedSharding(self.mesh, P(self.axis))
+            self._wind0 = jax.device_put(
+                jnp.zeros((self.nb, levf.L + 1, self.d),
+                          dtype=real_dtype), sh)
+        return self._wind0
+
+    def residual(self, z, params, wind=None):
         """(F, fnorm) with F local-sharded and fnorm replicated."""
-        F, fnorm = self._res_sm(self.loc, z, params)
+        if wind is None:
+            wind = self._zero_wind()
+        F, fnorm = self._res_sm(self.loc, z, params, wind)
         return F, float(np.asarray(fnorm)[0])
 
-    def linear_step(self, z, F, params, tstate):
-        dz, its = self._lin_sm(self.loc, z, F, params, tstate)
+    def linear_step(self, z, F, params, tstate, wind=None):
+        if wind is None:
+            wind = self._zero_wind()
+        dz, its = self._lin_sm(self.loc, z, F, params, tstate, wind)
         return dz, int(np.asarray(its)[0])
 
-    def newton_step(self, z, params, tstate=None):
+    def newton_step(self, z, params, tstate=None, wind=None):
         """One full Newton step (residual + almg-FGMRES solve + update)
         of the flagship solver, entirely distributed."""
         if tstate is None:
             tstate = self.transfer_setup(params)
-        F, _ = self._res_sm(self.loc, z, params)
-        dz, its = self.linear_step(z, F, params, tstate)
+        F, _ = self.residual(z, params, wind)
+        dz, its = self.linear_step(z, F, params, tstate, wind)
         z = jax.tree.map(jnp.add, z, dz)
         return z, its
 
@@ -785,20 +1145,22 @@ class DistributedSolver:
             solver.nu_val = solver.char_L * solver.char_U / re
         params = solver.params()
         params.pop("wind", None)
+        wind = (self._shard_u(solver.z_last[0])
+                if self.stab is not None else self._zero_wind())
         z, _ = self.shard_state(solver.z, params)
         tstate = self.transfer_setup(params)
         tol = solver.tolerances
-        F, fnorm = self.residual(z, params)
+        F, fnorm = self.residual(z, params, wind)
         fnorm0 = fnorm
         total_lin = 0
         nit = 0
         converged, reason = fnorm <= tol["snes_atol"], "atol"
         while not converged and nit < 20:
-            dz, its = self.linear_step(z, F, params, tstate)
+            dz, its = self.linear_step(z, F, params, tstate, wind)
             total_lin += its
             z = jax.tree.map(jnp.add, z, dz)
             nit += 1
-            F, fnorm = self.residual(z, params)
+            F, fnorm = self.residual(z, params, wind)
             if not np.isfinite(fnorm):
                 converged, reason = False, "diverged_fnorm_nan"
                 break
@@ -825,6 +1187,19 @@ class DistributedSolver:
         return solver.z, info
 
     # ---------------- state movement ----------------
+    def _shard_u(self, u):
+        """Global (ndofV, d) velocity -> block-local (nb, L+1, d)
+        sharded array."""
+        levf = self.levs[-1]
+        u = np.asarray(u)
+        nb, L = self.nb, levf.L
+        ub = np.zeros((nb, L + 1, self.d))
+        for b in range(nb):
+            v = levf.valid[b]
+            ub[b, :L][v] = u[levf.gdofs[b][v]]
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.device_put(jnp.asarray(ub, dtype=real_dtype), sh)
+
     def shard_state(self, z, params=None):
         """Global (u, p) -> block-local sharded arrays."""
         levf = self.levs[-1]

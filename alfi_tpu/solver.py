@@ -345,6 +345,121 @@ class NavierStokesSolver:
         return lin_wrapped
 
     # ------------------------------------------------------------------
+    # per-event performance decomposition
+    # ------------------------------------------------------------------
+    def micro_events(self, nrep=3):
+        """Populate the event registry with per-operation timings at the
+        current state — the TPU-native analogue of the reference's PETSc
+        event report (/root/reference/alfi/driver.py:77-92, 22 events).
+
+        A whole Newton step runs as ONE fused XLA program, so per-event
+        times cannot be observed in situ without destroying the fusion
+        being measured.  Instead each sub-operation is re-executed
+        standalone (jitted, arrays-only state passed as arguments,
+        block_until_ready, best of ``nrep``) on the CURRENT state, and
+        scaled by its exact invocation count over the solves performed
+        so far — counts derived from the accumulated outer iteration
+        totals and the static FMG cycle structure (for L fine levels
+        and smoothing m: L(L+1) smooths, L + L(L+1)/2 transfers and
+        L+1 coarse solves per cycle, 2 cycles per Schur application).
+        """
+        if self.solver_type != "almg":
+            return {}
+        import jax as _jax
+
+        from .utils.events import EVENTS
+
+        vmg = self.vmg
+        params = self.params()
+        tstate = self._transfer_setup(params)
+        its = getattr(self, "_event_its", {"K": 1, "N": 1})
+        K, N = max(1, its["K"]), max(1, its["N"])
+        L = vmg.nlevels - 1
+        m = self.smoothing
+        cycles = 2 * K               # two MG cycles per Schur apply
+        smooths = cycles * L * (L + 1)
+        transfers = cycles * (L + L * (L + 1) // 2)
+        coarse = cycles * (L + 1)
+
+        def timeit(name, count, fn, *args):
+            f = _jax.jit(fn)
+            out = _jax.block_until_ready(f(*args))  # compile + warm
+            best = float("inf")
+            for _ in range(nrep):
+                t0 = _time.perf_counter()
+                _jax.block_until_ready(f(*args))
+                best = min(best, _time.perf_counter() - t0)
+            ev = EVENTS[name]
+            ev["time"] += best * count
+            ev["count"] += count
+            return out
+
+        z, static = self.z, self._almg_static
+        state = timeit(
+            "PCSetUp", N,
+            lambda zz, pp, ts, st: vmg.setup(
+                zz[0], pp, schoeberl_state=ts, static=st, p_fine=zz[1]),
+            z, params, tstate, static)
+        lev = vmg.levels[L]
+        v = lev.mask_u * jnp.ones((lev.V.ndof, self.tdim),
+                                  dtype=z[0].dtype)
+        # outer mixed Jacobian action (matrix-free MatMult)
+        J = make_jacobian_matvec(self.form.residual, self.bcset, z,
+                                 params)
+        timeit("MatMult", K + N, lambda zz: J(zz), z)
+        # fine-level velocity-block action
+        timeit("MatFreeMatMult",
+               smooths * (m + 1) + cycles * L * (L + 1) // 2,
+               lambda st, vv: vmg.level_apply(L, st["tensors"][L], vv),
+               state, v)
+        # one additive/multiplicative patch sweep (the PCPatch solve)
+        timeit("PCPATCHSolve", smooths * m,
+               lambda st, vv: vmg._smoother_pc(L, st)(vv), state, v)
+        # one level smoother run (FGMRES(m) + patch PC)
+        timeit("KSPSolve_FS_0", smooths // max(1, L) if L else 0,
+               lambda st, vv: vmg._smooth(L, st, vv, jnp.zeros_like(vv)),
+               state, v)
+        if L:
+            levc = vmg.levels[L - 1]
+            vc = levc.mask_u * jnp.ones(
+                (levc.V.ndof, self.tdim), dtype=z[0].dtype)
+            timeit("SchoeberlProlong" if vmg.schoeberl else "prolong",
+                   transfers,
+                   lambda st, xc: vmg._prolong(L - 1, st, xc), state, vc)
+            rname = ("SchoeberlRestrict"
+                     if vmg.schoeberl is not None
+                     and vmg.schoeberl_restriction else "restriction")
+            timeit(rname, transfers,
+                   lambda st, rf: vmg._restrict(L - 1, st, rf), state, v)
+            timeit("inject", N * L,
+                   lambda vv: vmg.injects[L - 1].apply(vv), v)
+            timeit("prolong", transfers,
+                   lambda vv: vmg.prolongs[L - 1].apply(vv), vc)
+        # telescoped coarse solve (MatSolve analogue)
+        lev0 = vmg.levels[0]
+        b0 = (lev0.mask_u * jnp.ones((lev0.V.ndof, self.tdim),
+                                     dtype=z[0].dtype)).reshape(-1)
+        timeit("MatSolve", coarse,
+               lambda st, bb: vmg.coarse_apply(st["coarse_fac"], bb),
+               state, b0)
+        # the whole Schur preconditioner application
+        mask_u = self.bcset.mask[0]
+        form = self.form
+
+        def pc_apply(st, r):
+            solve_A = vmg.make_solve_A(st)
+            return SchurPC(form, mask_u, solve_A).make_apply(params)(r)
+
+        r = (v, jnp.ones((self.Z.Q.ndof,), dtype=z[0].dtype))
+        timeit("PCApply", K, pc_apply, state, r)
+        # Schur mass-inverse (DGMassInv analogue)
+        minv = form.pressure_mass_inverse()
+        timeit("DGMassInv", K,
+               lambda mi, q: form.apply_pressure_massinv(mi, q), minv,
+               r[1])
+        return dict(EVENTS)
+
+    # ------------------------------------------------------------------
     def setup_adjoint(self, functional):
         """Adjoint solver for a scalar functional J(z)
         (/root/reference/alfi/solver.py:520-535: the reference forms
@@ -501,6 +616,11 @@ class NavierStokesSolver:
 
         linear_its = ninfo.linear_iter
         nonlinear_its = max(1, ninfo.nonlinear_iter)
+        acc = getattr(self, "_event_its", None)
+        if acc is None:
+            acc = self._event_its = {"K": 0, "N": 0}
+        acc["K"] += int(linear_its)
+        acc["N"] += int(nonlinear_its)
         re_time = elapsed / 60.0
         self.message(GREEN % (
             "Time taken: %.2f min in %d iterations "

@@ -33,11 +33,17 @@ class SchurPC:
         return zero rows at BC dofs for zero-row inputs.
     """
 
+    #: subclasses that never touch ``minv`` (LSC) skip its computation —
+    #: SchurPC is constructed inside the jitted linear-step trace, so an
+    #: unused pressure_mass_inverse would still be traced every step
+    needs_minv = True
+
     def __init__(self, form, mask_u, solve_A):
         self.form = form
         self.mask_u = mask_u
         self.solve_A = solve_A
-        self.minv = form.pressure_mass_inverse()
+        self.minv = form.pressure_mass_inverse() if self.needs_minv \
+            else None
 
     def schur_inverse(self, s, params):
         scale = -(params["nu"] + params["gamma"])
@@ -80,6 +86,8 @@ class LSCSchurPC(SchurPC):
     Parameters (beyond SchurPC's): ``apply_A`` — the masked velocity
     Jacobian action at the current Newton state, (ndofV, d) -> (ndofV, d).
     """
+
+    needs_minv = False
 
     def __init__(self, form, mask_u, solve_A, apply_A, has_nullspace,
                  l_iters=30, l_rtol=1e-6):

@@ -1,0 +1,87 @@
+"""Telescoped host-side sparse coarse solve.
+
+The reference's coarse grid leaves the parallel compute domain: it is
+gathered onto a size/24 subcommunicator and solved by SuperLU_dist on
+CPUs (/root/reference/alfi/solver.py:354-377).  The TPU-native analogue
+of that telescope is a ``jax.pure_callback`` to the HOST: element
+tensors and the rhs cross to CPU, scipy's SuperLU factors the assembled
+sparse operator once per Newton step (cached by a device-computed
+fingerprint), and only (N,)-vector solves ride the PCIe round trip in
+the cycle hot loop.
+
+This removes the dense-coarse memory cap (an N^2 f64 dense factor tops
+out around N ~ 13k on one v5e): reference bfs coarse meshes (e.g.
+bfs2d coarse06, ~26k velocity dofs at k=2 on the base mesh) now work as
+hierarchy bases.  Exactness: SuperLU runs in f64 on the host, so the
+coarse solve is as exact as the reference's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+#: single-slot factor cache per solver instance: (fingerprint, splu)
+class HostSparseCoarse:
+    """Sparse f64 coarse factor/solve on the host for the velocity
+    block A = sum_c P_c^T T_c P_c with BC rows/cols eliminated to the
+    identity.
+
+    Parameters
+    ----------
+    rows : (nc, nld) int — flattened global dof rows per cell
+    N : total flat dofs
+    mask_flat : (N,) 0/1 float — velocity BC mask
+    """
+
+    def __init__(self, rows, N, mask_flat):
+        rows = np.asarray(rows)
+        nc, nld = rows.shape
+        self.N = int(N)
+        r = np.repeat(rows[:, :, None], nld, axis=2).reshape(-1)
+        c = np.repeat(rows[:, None, :], nld, axis=1).reshape(-1)
+        self._r, self._c = r, c
+        m = np.asarray(mask_flat)
+        self._scale = m[r] * m[c]
+        self._diag = 1.0 - m
+        self._cache = (None, None)
+        # fingerprint weights: fixed pseudo-random projection so any
+        # tensor change flips the key
+        rng = np.random.default_rng(0)
+        self._w = rng.standard_normal(nc * nld * nld)
+
+    # ---------------- host side ----------------
+    def _factor(self, Tvals):
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.linalg import splu
+
+        data = Tvals.reshape(-1) * self._scale
+        A = coo_matrix((data, (self._r, self._c)),
+                       shape=(self.N, self.N)).tocsc()
+        if self._diag.any():
+            from scipy.sparse import diags
+
+            A = A + diags(self._diag)
+        return splu(A.tocsc())
+
+    def _callback(self, Tvals, fp, b):
+        key = float(fp)
+        ck, fac = self._cache
+        if ck != key or fac is None:
+            fac = self._factor(np.asarray(Tvals, dtype=np.float64))
+            self._cache = (key, fac)
+        out = fac.solve(np.asarray(b, dtype=np.float64))
+        return out.astype(b.dtype)
+
+    # ---------------- device side ----------------
+    def solve(self, T, b):
+        """A(T)^{-1} b via host callback; T (nc, nld, nld) element
+        tensors, b (N,)."""
+        import jax
+        import jax.numpy as jnp
+
+        fp = jnp.dot(T.reshape(-1), jnp.asarray(self._w, dtype=T.dtype))
+        return jax.pure_callback(
+            self._callback,
+            jax.ShapeDtypeStruct(b.shape, b.dtype), T, fp, b,
+            vmap_method="sequential")

@@ -116,9 +116,11 @@ def assemble_dense_graddiv_factors(form, mask_u):
     return mask_u.reshape(-1)[:, None] * B
 
 
-def woodbury_dense_closure(M, B, gamma):
-    """x -> (M + gamma B B^T)^{-1} x in f32 with gamma-independent
-    conditioning (see mg/patches.py build_patch_solver_woodbury)."""
+def woodbury_dense_factor(M, B, gamma):
+    """Arrays-only factor state for the f32 gamma-split dense solve
+    (see mg/patches.py build_patch_solver_woodbury); pairs with
+    :func:`woodbury_dense_apply` so the state can cross jit boundaries
+    and be timed per-op."""
     dt = jnp.float32
     M32, B32 = M.astype(dt), B.astype(dt)
     from ..mg.patches import woodbury_effective_gamma
@@ -130,50 +132,54 @@ def woodbury_dense_closure(M, B, gamma):
     geff = woodbury_effective_gamma(gamma, S)
     C = jnp.eye(R, dtype=dt) / geff + S
     Clu = jax.scipy.linalg.lu_factor(C)
-
-    def solve(b):
-        y = jax.scipy.linalg.lu_solve(Mlu, b.astype(dt))
-        s = jax.scipy.linalg.lu_solve(Clu, B32.T @ y)
-        return (y - Y @ s).astype(b.dtype)
-
-    return solve
+    return {"Mlu": Mlu, "Clu": Clu, "Y": Y, "B32": B32}
 
 
-def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
-    """f64-quality coarse solve of A = M + gamma B B^T without an
+def woodbury_dense_apply(fac, b):
+    dt = jnp.float32
+    y = jax.scipy.linalg.lu_solve(fac["Mlu"], b.astype(dt))
+    s = jax.scipy.linalg.lu_solve(fac["Clu"], fac["B32"].T @ y)
+    return (y - fac["Y"] @ s).astype(b.dtype)
+
+
+def woodbury_dense_closure(M, B, gamma):
+    """x -> (M + gamma B B^T)^{-1} x in f32 with gamma-independent
+    conditioning."""
+    fac = woodbury_dense_factor(M, B, gamma)
+    return lambda b: woodbury_dense_apply(fac, b)
+
+
+def woodbury_refined_dense_factor(M, B, gamma):
+    """f64-quality coarse factor of A = M + gamma B B^T without an
     f64-emulated factorisation (the TPU fast path for the MG coarse
     grid, replacing the ~600 ms batched f64 QR per Newton step):
 
-    * equilibrated f32 LU of M (gamma-independent conditioning),
-    * f64 capacitance C = I/gamma + B^T M^{-1} B solved by the
-      elementwise f64 LU (small: r = nc*q rows), so no gamma clamp is
-      needed and kappa(C) ~ gamma |S| is harmless,
-    * ``n_ir`` iterative-refinement steps against the exact f64 dense A
+    * equilibrated f32 LU of M (gamma-independent conditioning) — QR
+      above N ~ 8k where XLA's blocked f32 LuDecomposition overflows
+      scoped vmem on v5e,
+    * f64 capacitance C = I/gamma + B^T M^{-1} B inverted once by
+      explicit QR (small: r = nc*q rows), so no gamma clamp is needed
+      and kappa(C) ~ gamma |S| is harmless,
+    * iterative-refinement in the apply against the exact f64 dense A
       (matvec only — cheap), recovering f64 forward accuracy as long as
       the f32 M-solve is a contraction (kappa_equil(M) << 1/eps32).
+
+    Returns an arrays-only dict (structure encodes the LU-vs-QR path)
+    for :func:`woodbury_refined_dense_apply`.
     """
     dt = jnp.float32
     # symmetric equilibration of M: unit row/col inf-norms
     d = 1.0 / jnp.sqrt(jnp.max(jnp.abs(M), axis=1) + 1e-300)
     Ms32 = (d[:, None] * M * d[None, :]).astype(dt)
     if M.shape[0] > 8192:
-        # XLA's blocked f32 LuDecomposition overflows scoped vmem around
-        # N ~ 13k on v5e; QR is blocked more conservatively
         Qm, Rm = jnp.linalg.qr(Ms32)
-
-        def _msolve32(b32):
-            return jax.scipy.linalg.solve_triangular(Rm, Qm.T @ b32,
-                                                     lower=False)
+        fac = {"Qm": Qm, "Rm": Rm}
     else:
-        Mlu = jax.scipy.linalg.lu_factor(Ms32)
+        fac = {"Mlu": jax.scipy.linalg.lu_factor(Ms32)}
+    fac.update(d=d, M=M, B=B, gamma=gamma)
 
-        def _msolve32(b32):
-            return jax.scipy.linalg.lu_solve(Mlu, b32)
-
-    def Minv(x):
-        # x f64 -> M^{-1} x (f32 inner solve, f64 in/out)
-        y = _msolve32((d * x).astype(dt))
-        return d * y.astype(x.dtype)
+    def _msolve32(b32):
+        return _woodbury_msolve32(fac, b32)
 
     Y = d[:, None] * _msolve32(
         (d[:, None] * B).astype(dt)).astype(M.dtype)  # M^{-1} B f64
@@ -189,23 +195,40 @@ def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
     # sequential pivot steps would run inside EVERY coarse solve)
     Qc, Rc = jnp.linalg.qr(C)
     Cinv = jax.scipy.linalg.solve_triangular(Rc, Qc.T, lower=False)
+    fac.update(Y=Y, Cinv=Cinv)
+    return fac
 
-    def base(b):
-        y = Minv(b)
-        s = Cinv @ (B.T @ y)
-        return y - Y @ s
+
+def _woodbury_msolve32(fac, b32):
+    if "Mlu" in fac:
+        return jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
+    return jax.scipy.linalg.solve_triangular(
+        fac["Rm"], fac["Qm"].T @ b32, lower=False)
+
+
+def woodbury_refined_dense_apply(fac, b, n_ir=3):
+    d, M, B, gamma = fac["d"], fac["M"], fac["B"], fac["gamma"]
+    dt = jnp.float32
+
+    def base(bb):
+        y = d * _woodbury_msolve32(fac, (d * bb).astype(dt)).astype(
+            bb.dtype)
+        s = fac["Cinv"] @ (B.T @ y)
+        return y - fac["Y"] @ s
 
     def Amv(x):
         # exact f64 A x without forming the dense gamma B B^T
         return M @ x + gamma * (B @ (B.T @ x))
 
-    def solve(b):
-        x = base(b)
-        for _ in range(n_ir):
-            x = x + base(b - Amv(x))
-        return x
+    x = base(b)
+    for _ in range(n_ir):
+        x = x + base(b - Amv(x))
+    return x
 
-    return solve
+
+def woodbury_refined_dense_closure(M, B, gamma, n_ir=3):
+    fac = woodbury_refined_dense_factor(M, B, gamma)
+    return lambda b: woodbury_refined_dense_apply(fac, b, n_ir=n_ir)
 
 
 def lu_solve_closure(A):

@@ -54,44 +54,54 @@ class ShakibSUPG:
         self.gq = jnp.einsum("qle,cej->cqlj", gq_ref, jinv)
         self.h = form.geom.h  # CellSize
 
-    def _strong_terms(self, z, params):
-        """u, grad u, Lu at quadrature points (live state)."""
-        form = self.form
-        u, p = z
-        tv = form.tab_v
-        nu, advect = params["nu"], params["advect"]
-        u_loc = u[jnp.asarray(form.V.cell_dofs)]
-        p_loc = p[jnp.asarray(form.Q.cell_dofs)]
-        jinv = form.geom.jinv
-        u_q = jnp.einsum("ql,cld->cqd", tv.phi, u_loc)
-        gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, jinv, u_loc)
-        Hu = jnp.einsum("cqlab,cli->cqiab", self.hess, u_loc)
-        # div(2 sym grad u)_i = lap u_i + d_i div u
-        visc = jnp.einsum("cqiaa->cqi", Hu) + jnp.einsum("cqaia->cqi", Hu)
-        gp = jnp.einsum("cqlj,cl->cqj", self.gq, p_loc)
-        Lu = -nu * visc + advect * jnp.einsum(
-            "cqij,cqj->cqi", gu, u_q) + gp
-        if form.rhs is not None:
-            xq = form.geom.quad_points_physical(tv.ref_pts)
-            f_v, _ = form.rhs(xq.reshape(-1, form.dim), params)
-            Lu = Lu - f_v.reshape(Lu.shape)
-        return u_q, gu, Lu
+    # ------------------------------------------------------------------
+    # batched per-cell kernels (shared by the global assembly path and
+    # the shard_map-distributed block-local path — per-cell results are
+    # independent of the batch, so the two paths agree to roundoff)
+    # ------------------------------------------------------------------
+    def aux_global(self, params):
+        """Global auxiliary scalar entering the coefficient (0.0 for
+        Shakib; Turek overrides with the domain-averaged frozen-wind
+        speed)."""
+        return 0.0
 
-    def _beta(self, u_q, params):
+    def aux_partial(self, w_loc, detj, owned):
+        """Block-local partial sum for ``aux`` (the distributed path
+        psums this over the device mesh and divides by the domain
+        measure).  None = no reduction needed (Shakib)."""
+        return None
+
+    def _beta_batch(self, u_q, h, wdet, params, aux):
         nu = params["nu"]
-        h2 = (self.h ** 2)[:, None]
+        h2 = (h ** 2)[:, None]
         w2 = jnp.einsum("cqd,cqd->cq", u_q, u_q)
         return (4.0 * w2 / h2
                 + self.magic * (4.0 * nu / h2) ** 2) ** (-0.5)
 
-    def residual(self, z, params):
+    def residual_local(self, u_loc, p_loc, w_loc, jinv, detj, hess, gq,
+                       h, xq, params, aux):
+        """Per-cell stabilisation residual from explicit per-cell
+        batches: (rv_loc (nc, nl, d), rq_loc (nc, nlq) | None), NOT
+        advect-scaled.  The global :meth:`residual` gathers and calls
+        this; the distributed solver calls it on each block's owned
+        cells with localized geometry."""
         form = self.form
         tv = form.tab_v
-        u_q, gu, Lu = self._strong_terms(z, params)
-        beta = self._beta(u_q, params)
-        wdet = tv.w[None, :] * form.geom.detj[:, None]
+        nu, advect = params["nu"], params["advect"]
+        u_q = jnp.einsum("ql,cld->cqd", tv.phi, u_loc)
+        gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, jinv, u_loc)
+        Hu = jnp.einsum("cqlab,cli->cqiab", hess, u_loc)
+        # div(2 sym grad u)_i = lap u_i + d_i div u
+        visc = jnp.einsum("cqiaa->cqi", Hu) + jnp.einsum("cqaia->cqi", Hu)
+        gp = jnp.einsum("cqlj,cl->cqj", gq, p_loc)
+        Lu = -nu * visc + advect * jnp.einsum(
+            "cqij,cqj->cqi", gu, u_q) + gp
+        if form.rhs is not None:
+            f_v, _ = form.rhs(xq.reshape(-1, form.dim), params)
+            Lu = Lu - f_v.reshape(Lu.shape)
+        wdet = tv.w[None, :] * detj[:, None]
+        beta = self._beta_batch(u_q, h, wdet, params, aux)
         coef = self.weight * wdet * beta  # (nc, nq)
-        jinv = form.geom.jinv
         gtest = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
         # SUPG test direction (grad v) w uses the LIVE state (the
         # reference's SUPG.form has w = self.wind = u, state=u at
@@ -102,8 +112,6 @@ class ShakibSUPG:
         if self.mode == "gls":
             # GLS's Lv advects the test function with the FROZEN wind
             # (z_last, /root/reference/alfi/solver.py:205,216)
-            wind = params["wind"]
-            w_loc = wind[jnp.asarray(form.V.cell_dofs)]
             w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
             adv_test = jnp.einsum("cqlj,cqj->cql", gtest, w_q)
             # Lv for v = phi_l e_i:
@@ -112,14 +120,31 @@ class ShakibSUPG:
             # so inner(Lu, Lv) for test (l, i) =
             #   Lu_i (-nu lap phi_l + grad phi_l . w)
             #   + sum_j Lu_j (-nu H[l, i, j])
-            nu = params["nu"]
-            Hl = self.hess  # (nc, nq, nloc, d, d)
-            lap = jnp.einsum("cqlaa->cql", Hl)
+            lap = jnp.einsum("cqlaa->cql", hess)
             rv_loc = jnp.einsum("cq,cqi,cql->cli", coef, Lu,
                                 -nu * lap + adv_test) \
-                + jnp.einsum("cq,cqj,cqlij->cli", coef, Lu, -nu * Hl)
+                + jnp.einsum("cq,cqj,cqlij->cli", coef, Lu, -nu * hess)
             # pressure rows: inner(Lu, grad q)
-            rq_loc = jnp.einsum("cq,cqj,cqlj->cl", coef, Lu, self.gq)
+            rq_loc = jnp.einsum("cq,cqj,cqlj->cl", coef, Lu, gq)
+        return rv_loc, rq_loc
+
+    def residual(self, z, params):
+        form = self.form
+        tv = form.tab_v
+        u, p = z
+        u_loc = u[jnp.asarray(form.V.cell_dofs)]
+        p_loc = p[jnp.asarray(form.Q.cell_dofs)]
+        w_loc = (params["wind"][jnp.asarray(form.V.cell_dofs)]
+                 if self.mode == "gls" else jnp.zeros_like(u_loc))
+        if form.rhs is not None:
+            xq = form.geom.quad_points_physical(tv.ref_pts)
+        else:
+            xq = jnp.zeros((u_loc.shape[0], tv.nq, form.dim),
+                           dtype=u_loc.dtype)
+        aux = self.aux_global(params)
+        rv_loc, rq_loc = self.residual_local(
+            u_loc, p_loc, w_loc, form.geom.jinv, form.geom.detj,
+            self.hess, self.gq, self.h, xq, params, aux)
         if form._sum_v is not None:
             Rv = form._sum_v(rv_loc)
             Rq = (form._sum_q(rq_loc) if rq_loc is not None
@@ -144,9 +169,6 @@ class ShakibSUPG:
         return (4.0 * w2 / h2
                 + self.magic * (4.0 * nu / h2) ** 2) ** (-0.5)
 
-    def _tensor_aux(self, params):
-        return 0.0
-
     def velocity_element_tensors(self, z, params):
         """(nc, nl*d, nl*d) per-cell velocity-block Jacobian of the
         stabilisation residual at state z — NOT advect-scaled (the
@@ -160,27 +182,38 @@ class ShakibSUPG:
         as Re grows and the outer Krylov counts climb.  Derived by
         jacfwd of a per-cell residual kernel mirroring
         :meth:`residual`."""
-        import jax
-
         form = self.form
         u, p = z
         tv = form.tab_v
         u_loc = u[form.cd_v]  # (nc, nl, d)
         p_loc = p[form.cd_q]
         geom = form.geom
-        jinv, detj = geom.jinv, geom.detj
-        nu, advect = params["nu"], params["advect"]
-        phi, gphi, wq = tv.phi, tv.gphi, tv.w
-        gls = self.mode == "gls"
-        wind_loc = (params["wind"][form.cd_v] if gls
+        wind_loc = (params["wind"][form.cd_v] if self.mode == "gls"
                     else jnp.zeros_like(u_loc))
-        aux = self._tensor_aux(params)
+        aux = self.aux_global(params)
         if form.rhs is not None:
             xq = geom.quad_points_physical(tv.ref_pts)  # (nc, nq, d)
         else:
             nc = u_loc.shape[0]
-            xq = jnp.zeros((nc, phi.shape[0], form.dim),
-                           dtype=u_loc.dtype)
+            xq = jnp.zeros((nc, tv.nq, form.dim), dtype=u_loc.dtype)
+        return self.velocity_element_tensors_from(
+            params, u_loc, p_loc, wind_loc, geom.jinv, geom.detj,
+            self.hess, self.gq, self.h, xq, aux)
+
+    def velocity_element_tensors_from(self, params, u_loc, p_loc,
+                                      wind_loc, jinv, detj, hess, gq, h,
+                                      xq, aux):
+        """Same per-cell Jacobians from EXPLICIT per-cell batches (the
+        block-local entry point of the shard_map-distributed solver:
+        each device passes its own cells' state / geometry / basis
+        hessians, no global arrays)."""
+        import jax
+
+        form = self.form
+        tv = form.tab_v
+        nu, advect = params["nu"], params["advect"]
+        phi, gphi, wq = tv.phi, tv.gphi, tv.w
+        gls = self.mode == "gls"
 
         def cell_rv(ul, pl, wl, ji, dj, hessc, gqc, hc, xqc):
             u_q = jnp.einsum("ql,ld->qd", phi, ul)
@@ -209,8 +242,7 @@ class ShakibSUPG:
             return jnp.einsum("q,qi,ql->li", coef, Lu, adv_test)
 
         J = jax.vmap(jax.jacfwd(cell_rv, argnums=0))(
-            u_loc, p_loc, wind_loc, jinv, detj, self.hess, self.gq,
-            self.h, xq)  # (nc, nl, d, nl, d)
+            u_loc, p_loc, wind_loc, jinv, detj, hess, gq, h, xq)
         nc, nl, d = J.shape[0], J.shape[1], J.shape[2]
         return J.reshape(nc, nl * d, nl * d)
 
@@ -228,28 +260,7 @@ class TurekSUPG(ShakibSUPG):
         self._wdet = tv.w[None, :] * form.geom.detj[:, None]
         self._domain_measure = float(form.area())
 
-    def _beta(self, u_q, params):
-        form = self.form
-        nu = params["nu"]
-        Re = self.char_LU / nu
-        wind = params["wind"]
-        w_loc = wind[jnp.asarray(form.V.cell_dofs)]
-        w_qq = jnp.einsum("ql,cld->cqd", form.tab_v.phi, w_loc)
-        w_avg = jnp.einsum(
-            "cq,cq->", self._wdet,
-            jnp.sqrt(jnp.einsum("cqd,cqd->cq", w_qq, w_qq))
-        ) / self._domain_measure
-        # cell average of |u| (live state)
-        unorm = jnp.sqrt(jnp.einsum("cqd,cqd->cq", u_q, u_q))
-        cellavg = (jnp.einsum("cq,cq->c", self._wdet, unorm)
-                   / (self._wdet.sum(axis=1)))
-        h = self.h
-        re_tau = cellavg * h * Re
-        beta = self.magic * h * 2.0 * re_tau / (w_avg * (1.0 + re_tau)
-                                                + 1e-300)
-        return beta[:, None] * jnp.ones_like(unorm)
-
-    def _tensor_aux(self, params):
+    def aux_global(self, params):
         """Global scalar w_avg from the FROZEN wind (not differentiated)."""
         form = self.form
         wind = params["wind"]
@@ -259,6 +270,29 @@ class TurekSUPG(ShakibSUPG):
             "cq,cq->", self._wdet,
             jnp.sqrt(jnp.einsum("cqd,cqd->cq", w_qq, w_qq))
         ) / self._domain_measure
+
+    def aux_partial(self, w_loc, detj, owned):
+        """Owned-cells partial of the w_avg NUMERATOR; the distributed
+        caller psums over the mesh axis and divides by
+        ``_domain_measure``."""
+        tv = self.form.tab_v
+        w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
+        wdet = tv.w[None, :] * detj[:, None]
+        s = jnp.einsum("cq,cq->c", wdet,
+                       jnp.sqrt(jnp.einsum("cqd,cqd->cq", w_q, w_q)))
+        return jnp.sum(jnp.where(owned, s, 0.0))
+
+    def _beta_batch(self, u_q, h, wdet, params, aux):
+        nu = params["nu"]
+        Re = self.char_LU / nu
+        # cell average of |u| (live state); aux = frozen-wind w_avg
+        unorm = jnp.sqrt(jnp.einsum("cqd,cqd->cq", u_q, u_q))
+        cellavg = (jnp.einsum("cq,cq->c", wdet, unorm)
+                   / (wdet.sum(axis=1) + 1e-300))
+        re_tau = cellavg * h * Re
+        beta = self.magic * h * 2.0 * re_tau / (aux * (1.0 + re_tau)
+                                                + 1e-300)
+        return beta[:, None] * jnp.ones_like(unorm)
 
     def _beta_cell(self, u_q, hc, params, aux):
         nu = params["nu"]

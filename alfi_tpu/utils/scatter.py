@@ -40,6 +40,10 @@ def make_gather_sum(indices, nout):
     table = np.full((nout, max(mu, 1)), nin, dtype=np.int64)
     pos = np.arange(order.size) - starts[sr]
     table[sr, pos] = order
+    # index range is [0, nin] (nin = pad slot); int32 halves resident
+    # index memory across the many per-level/per-color tables
+    if nin < np.iinfo(np.int32).max:
+        table = table.astype(np.int32)
     table_j = jnp.asarray(table)
     ndim_idx = np.asarray(indices).ndim
     shape_idx = np.asarray(indices).shape
@@ -54,24 +58,6 @@ def make_gather_sum(indices, nout):
     apply.indices_shape = shape_idx
     apply.mu = mu
     apply.nout = nout
-    return apply
-
-
-def scatter_add(indices_np, nout, use_tables):
-    """Uniform accumulation closure: gather-sum tables when
-    ``use_tables`` (accelerators), native scatter-add otherwise (CPU)."""
-    import jax.numpy as jnp
-
-    if use_tables:
-        return make_gather_sum(indices_np, nout)
-    idx = jnp.asarray(np.asarray(indices_np))
-
-    def apply(vals):
-        rest = vals.shape[np.asarray(indices_np).ndim:]
-        out = jnp.zeros((nout + 1,) + rest, dtype=vals.dtype)
-        safe = jnp.where((idx >= 0) & (idx < nout), idx, nout)
-        return out.at[safe].add(vals)[:nout]
-
     return apply
 
 

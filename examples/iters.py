@@ -67,18 +67,23 @@ def main():
         res_tmp = run_solver(solver, res, args)
         results[nref] = {re: res_tmp[re] for re in tableres}
 
-    def rnd(i):
-        return str(i) if isinstance(i, (str, int)) else "%.2f" % i
+    def sci_latex(n):
+        """Dof count as LaTeX scientific notation, $m.mm\\times 10^e$."""
+        import math
+
+        e = int(math.floor(math.log10(max(n, 1))))
+        return "$%.2f\\times 10^%d$" % (n / 10.0 ** e, e)
 
     def emit(extract):
-        table = [["nref\t", "dofs\t"] + tableres]
+        """One LaTeX tabular body: header (nref, dofs, Re columns),
+        one row per refinement level, cells tab-&-separated."""
+        grid = [["nref\t", "dofs\t"] + [str(re) for re in tableres]]
         for nref in nrefs:
-            dofstr = ("%.2e" % dofs[nref]).replace("e+0", r"\times 10^")
-            line = ["%i" % nref, "$%s$" % dofstr]
-            line += [extract(results[nref][re]) for re in tableres]
-            table.append(line)
-        print(" \\\\\n".join(
-            "\t& ".join(map(rnd, line)) for line in table) + "\\\\")
+            cells = [str(nref), sci_latex(dofs[nref])]
+            cells += ["%.2f" % extract(results[nref][re])
+                      for re in tableres]
+            grid.append(cells)
+        print(" \\\\\n".join("\t& ".join(row) for row in grid) + "\\\\")
 
     # table 1: average Krylov iterations per Newton step
     emit(lambda r: float(r["linear_iter"] / max(1, r["nonlinear_iter"])))
