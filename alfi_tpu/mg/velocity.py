@@ -372,9 +372,18 @@ class VelocityMG:
                 has_native_f64_lu,
             )
 
-            if not has_native_f64_lu() and N_els is not None:
+            B0q = lev0.form.graddiv_factors().shape[-1]
+            R0 = lev0.form.geom.detj.shape[0] * B0q
+            N0 = lev0.V.ndof * self.d
+            if (not has_native_f64_lu() and N_els is not None
+                    and R0 <= N0 // 2):
                 # TPU: gamma-split f32 LU + f64 iterative refinement —
-                # replaces the ~600 ms/Newton-step emulated f64 QR
+                # replaces the ~600 ms/Newton-step emulated f64 QR.
+                # Only when the grad-div update is genuinely low-rank
+                # (cell_avg: q=1).  For exact grad-div (SV) the
+                # capacitance has rank nc*q ~ N and Woodbury costs MORE
+                # than the direct factorisation (and its emulated f64
+                # QR of the ~N^2 capacitance faults the chip).
                 from ..solvers.linear import (
                     woodbury_refined_dense_factor,
                 )

@@ -1,1 +1,1 @@
-from .sharding import make_device_mesh, shard_solver_arrays
+from .sharding import make_device_mesh

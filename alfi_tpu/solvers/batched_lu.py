@@ -165,15 +165,32 @@ class _ExplicitInverseFactorization:
     every application is a single batched matvec (the hot-loop shape the
     MXU wants).  Forward error of apply-by-inverse is ~kappa*eps64, the
     same order as an LU solve — and identical to what PETSc's dense
-    inverse does."""
+    inverse does.
+
+    ``apply_dtype=f32``: keep the f64 factorisation (the
+    gamma-conditioned cancellation lives there) but run the hot-loop
+    matvec on the native-f32 MXU instead of in emulated f64.  The patch
+    sweep is a PRECONDITIONER inside (flexible) FGMRES, which tolerates
+    an inexact application by construction; iteration-count parity is
+    the acceptance gate (measured on the high-Re sweeps)."""
+
+    def __init__(self, apply_dtype=None):
+        self.apply_dtype = apply_dtype
 
     def factor(self, A):
         m = A.shape[-1]
         lu = lu_factor_batched(A)
-        eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape)
-        return lu_solve_batched_multi(lu, eye)
+        inv = lu_solve_batched_multi(
+            lu, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape))
+        if self.apply_dtype is not None:
+            inv = inv.astype(self.apply_dtype)
+        return inv
 
     def solve(self, Ainv, b):
+        if self.apply_dtype is not None:
+            y = jnp.einsum("...ij,...j->...i", Ainv,
+                           b.astype(self.apply_dtype))
+            return y.astype(b.dtype)
         return jnp.einsum("...ij,...j->...i", Ainv, b)
 
 
@@ -214,7 +231,10 @@ def get_factorization(kind="dense"):
 
             _fs[kind] = _ScipyFactorization(real_dtype)
         elif kind == "patch":
-            _fs[kind] = _ExplicitInverseFactorization()
+            # ALFI_TPU_PATCH_APPLY=f32: f64 factor, f32 MXU apply
+            app = os.environ.get("ALFI_TPU_PATCH_APPLY")
+            _fs[kind] = _ExplicitInverseFactorization(
+                jnp.float32 if app == "f32" else None)
         else:
             _fs[kind] = _QRFactorization()
     return _fs[kind]

@@ -1,0 +1,83 @@
+"""Roofline placement of the Vanka patch-apply hot loop (VERDICT item 8).
+
+The additive sweep's cost model per application:
+  bytes  = patch inverses (np*m*m*itemsize, streamed once)
+         + gather/scatter vectors (small)
+  flops  = 2*np*m*m  (batched matvec)
+With m ~ 30 the arithmetic intensity is ~0.25 FLOP/byte (f64) — far
+below the v5e ridge point, so the op is HBM-BANDWIDTH-bound and its
+speed-of-light time is bytes / 819 GB/s.  This script measures the
+actual per-apply time for the f64-emulated path and the f32-MXU path
+(ALFI_TPU_PATCH_APPLY=f32) and prints both against that bound, plus the
+whole-solve effect (iteration counts must not move for f32 to be
+legitimate).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def measure(solver):
+    import jax
+    import jax.numpy as jnp
+
+    vmg = solver.vmg
+    L = vmg.nlevels - 1
+    params = solver.params()
+    static = getattr(solver, "_almg_static", None)
+    _, papply = vmg.patch_solvers[L - 1]
+
+    @jax.jit
+    def factor(u, p):
+        return vmg.setup(u, p, static=static)["patch_lufacs"][L - 1]
+
+    lufac = factor(solver.z[0], params)
+    jax.block_until_ready(lufac)
+    r = jnp.ones((vmg.levels[L].V.ndof * vmg.d,),
+                 dtype=solver.z[0].dtype)
+    fn = jax.jit(papply)
+    jax.block_until_ready(fn(lufac, r))
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = jax.block_until_ready(fn(lufac, r))
+    dt = (time.perf_counter() - t0) / n
+
+    ps = vmg.patchsets[L - 1]
+    inv = lufac if not isinstance(lufac, tuple) else lufac[0]
+    itemsize = jnp.asarray(inv).dtype.itemsize
+    npat, m = ps.npatches, ps.m
+    bytes_inv = npat * m * m * itemsize
+    flops = 2 * npat * m * m
+    sol_s = bytes_inv / 819e9  # v5e HBM ~819 GB/s
+    ndofs = int(ps.sizes.sum())
+    return {
+        "apply_ms": round(dt * 1e3, 3),
+        "speed_of_light_ms": round(sol_s * 1e3, 3),
+        "frac_of_HBM_bound": round(sol_s / dt, 3),
+        "patch_dofs_per_s": round(ndofs / dt),
+        "npatches": npat, "m": m,
+        "inv_dtype": str(jnp.asarray(inv).dtype),
+        "bytes_inverses": bytes_inv,
+        "flops_per_apply": flops,
+    }
+
+
+def main(nref=2):
+    from alfi_tpu import ConstantPressureSolver
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    solver = ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(16), nref=nref, k=2,
+        solver_type="almg", hierarchy="uniform", gamma=1e4,
+        verbose=False)
+    solver.advect_val = 1.0
+    solver.nu_val = solver.char_L * solver.char_U / 100.0
+    print(json.dumps({"nref": nref, **measure(solver)}))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2)
