@@ -383,6 +383,72 @@ def contract_patch_tensors(patchset, tensors):
     return jax.vmap(one)(cells, P)
 
 
+def patch_facet_tables(patchset, facets, space):
+    """Host tables mapping interior-facet Jacobians into patch
+    operators: for each patch, the facets with >=1 adjacent cell in the
+    patch (only those can share dofs with it) and the facet union-dof
+    -> patch-local map.
+
+    Returns (pfacets (np, mfp) [pad -> nif], fl2p (np, mfp, 2*nld)
+    [pad/absent -> m])."""
+    d = space.value_size
+    cd = space.cell_dofs.astype(np.int64)
+    nif = facets.nif
+    fcells = np.asarray(facets.cells)  # (nif, 2) global cells
+    nc = space.mesh.num_cells
+    # cell -> interior facets (CSR)
+    keys = fcells.reshape(-1)
+    vals = np.repeat(np.arange(nif, dtype=np.int64), 2)
+    starts, fv = _csr_from_pairs(keys, vals, nc)
+    npat, mc = patchset.cells.shape
+    rows = []
+    for p in range(npat):
+        cells_p = patchset.cells[p]
+        cells_p = cells_p[cells_p < nc]
+        fs = np.unique(np.concatenate(
+            [fv[starts[c]:starts[c + 1]] for c in cells_p]
+        )) if len(cells_p) else np.zeros(0, dtype=np.int64)
+        rows.append(fs)
+    mfp = max((len(r) for r in rows), default=0)
+    pfacets = np.full((npat, max(mfp, 1)), nif, dtype=np.int64)
+    for p, r in enumerate(rows):
+        pfacets[p, : len(r)] = r
+    # facet union flat dofs (nif+1, 2*nld); the pad value must MISS in
+    # the patch dof rows — nflat itself is the patch-row pad and would
+    # false-match, mapping facet pads onto inactive patch slots
+    nld = cd.shape[1] * d
+    fdofs = np.full((nif + 1, 2 * nld), patchset.nflat + 1,
+                    dtype=np.int64)
+    for s in range(2):
+        flat = (cd[fcells[:, s]][:, :, None] * d
+                + np.arange(d)[None, None, :]).reshape(nif, nld)
+        fdofs[:nif, s * nld:(s + 1) * nld] = flat
+    queries = fdofs[pfacets]  # (np, mfp, 2nld)
+    fl2p = _rowwise_member_index(patchset.dofs, queries, dump=patchset.m)
+    return pfacets, fl2p.astype(index_dtype)
+
+
+def contract_patch_facet_tensors(pfacets, fl2p, Jf, m):
+    """(np, m, m) patch contributions from interior-facet Jacobians
+    Jf (nif, 2nld, 2nld) — the Burman coupling of the stabilised patch
+    operators (scatter formulation; runs once per Newton-step setup)."""
+    import jax
+    import jax.numpy as jnp
+
+    Jpad = jnp.concatenate(
+        [Jf, jnp.zeros((1,) + Jf.shape[1:], dtype=Jf.dtype)], axis=0)
+    pfacets = jnp.asarray(pfacets)
+    fl2p = jnp.asarray(fl2p)
+
+    def one(f_p, l2p_p):
+        T = Jpad[f_p]  # (mfp, 2nld, 2nld)
+        A = jnp.zeros((m + 1, m + 1), dtype=Jf.dtype)
+        A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
+        return A[:m, :m]
+
+    return jax.vmap(one)(pfacets, fl2p)
+
+
 def patch_padding_identity(patchset, dtype):
     """(np, m, m) unit diagonal on padding slots so factorisations of
     padded patch matrices stay nonsingular."""

@@ -211,20 +211,74 @@ class VelocityMG:
                 for l in range(self.nlevels - 1)
             ]
 
+        # ------------------------------------------------------------
+        # Burman facet coupling in the LEVEL OPERATORS + PATCH MATRICES
+        # (the reference assembles the full stabilised Jacobian incl.
+        # the dS jump term into PCMG/PCPatch; ALFI_TPU_BURMAN_PC=0
+        # disables for the ablation)
+        # ------------------------------------------------------------
+        import os as _os2
+
+        self.stab_facet = None
+        if (st is not None and st.has_facet_tensors
+                and not self.use_woodbury and self.smoother == "patch"
+                and _os2.environ.get("ALFI_TPU_BURMAN_PC", "1") == "1"):
+            from ..stabilisation import BurmanStabilisation
+            from ..utils.scatter import default_use_tables, \
+                make_gather_sum
+            from .patches import patch_facet_tables
+
+            self.stab_facet = [
+                (st.impl if l == self.nlevels - 1 else
+                 BurmanStabilisation(self.levels[l].form,
+                                     weight=st.impl.weight))
+                for l in range(self.nlevels)
+            ]
+            self.facet_rows, self.facet_row_sums = [], []
+            for l in range(self.nlevels):
+                fa = self.stab_facet[l].facets
+                rows_np = np.asarray(self.levels[l].rows)
+                fc = np.asarray(fa.cells)
+                frows = np.concatenate(
+                    [rows_np[fc[:, 0]], rows_np[fc[:, 1]]], axis=1)
+                self.facet_rows.append(jnp.asarray(frows))
+                self.facet_row_sums.append(
+                    make_gather_sum(frows,
+                                    self.levels[l].V.ndof * d)
+                    if default_use_tables() else None)
+            self.patch_facet_tabs = [
+                patch_facet_tables(self.patchsets[l - 1],
+                                   self.stab_facet[l].facets,
+                                   self.levels[l].V)
+                for l in range(1, self.nlevels)
+            ]
+            if self._host_coarse is not None:
+                self._host_coarse.set_facets(
+                    np.asarray(self.facet_rows[0]))
+
     # ------------------------------------------------------------------
     # per-level masked operator from element tensors
     # ------------------------------------------------------------------
-    def level_apply(self, l, tensors, v):
-        """A_l v on (ndof, d) arrays with eliminated BCs."""
+    def level_apply(self, l, tensors, v, ftensors=None):
+        """A_l v on (ndof, d) arrays with eliminated BCs; ``ftensors``
+        adds the interior-facet coupled (Burman) part."""
         lev = self.levels[l]
         v0 = (lev.mask_u * v).reshape(-1)
         vloc = v0[lev.rows]
         rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
         if lev.row_sum is not None:
-            r = lev.row_sum(rloc).reshape(lev.V.ndof, self.d)
+            rflat = lev.row_sum(rloc)
         else:
-            r = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
-            r = r.at[lev.rows].add(rloc).reshape(lev.V.ndof, self.d)
+            rflat = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
+            rflat = rflat.at[lev.rows].add(rloc)
+        if ftensors is not None:
+            vf = v0[self.facet_rows[l]]
+            rf = jnp.einsum("fij,fj->fi", ftensors, vf)
+            if self.facet_row_sums[l] is not None:
+                rflat = rflat + self.facet_row_sums[l](rf)
+            else:
+                rflat = rflat.at[self.facet_rows[l]].add(rf)
+        r = rflat.reshape(lev.V.ndof, self.d)
         return lev.mask_u * r + (1.0 - lev.mask_u) * v
 
     # ------------------------------------------------------------------
@@ -326,8 +380,34 @@ class VelocityMG:
                 if l == 0:
                     M_tensors0 = M_el
                 N_els.append(N_el)
+        ftensors = [None] * self.nlevels
+        if self.stab_facet is not None:
+            # per-level Burman facet Jacobians at the injected winds
+            # (advect-scaled like the cell stabilisation terms)
+            ftensors = [
+                params["advect"]
+                * self.stab_facet[l].facet_velocity_tensors(winds[l],
+                                                            params)
+                for l in range(self.nlevels)
+            ]
         if self.smoother == "patch":
-            if wb:
+            if self.stab_facet is not None:
+                from ..solvers.batched_lu import get_factorization
+                from .patches import (
+                    assemble_patch_matrices,
+                    contract_patch_facet_tensors,
+                )
+
+                fs_p = get_factorization("patch")
+                patch_lufacs = []
+                for l in range(1, self.nlevels):
+                    ps = self.patchsets[l - 1]
+                    Ap = assemble_patch_matrices(ps, tensors[l])
+                    pf, fl2p = self.patch_facet_tabs[l - 1]
+                    Ap = Ap + contract_patch_facet_tensors(
+                        pf, fl2p, ftensors[l], ps.m)
+                    patch_lufacs.append(fs_p.factor(Ap))
+            elif wb:
                 patch_lufacs = [
                     self.patch_solvers[l - 1][0](tensors_M[l], gamma)
                     for l in range(1, self.nlevels)
@@ -357,10 +437,14 @@ class VelocityMG:
         )
 
         lev0 = self.levels[0]
+        frows0 = (self.facet_rows[0] if self.stab_facet is not None
+                  else None)
         if self._host_coarse is not None:
             # telescoped host sparse LU: factor per Newton step (cached
             # by fingerprint on the host), solves via pure_callback
             coarse_fac = {"host": tensors[0]}
+            if ftensors[0] is not None:
+                coarse_fac["hostf"] = ftensors[0]
         elif wb:
             M0 = assemble_dense_from_tensors(lev0.form, tensors_M[0],
                                              lev0.mask_u)
@@ -389,18 +473,21 @@ class VelocityMG:
                 )
 
                 M0 = assemble_dense_from_tensors(
-                    lev0.form, M_tensors0, lev0.mask_u)
+                    lev0.form, M_tensors0, lev0.mask_u,
+                    facet_tensors=ftensors[0], facet_rows=frows0)
                 B0 = assemble_dense_graddiv_factors(lev0.form,
                                                     lev0.mask_u)
                 coarse_fac = {"wbir": woodbury_refined_dense_factor(
                     M0, B0, gamma)}
             else:
-                A0 = assemble_dense_from_tensors(lev0.form, tensors[0],
-                                                 lev0.mask_u)
+                A0 = assemble_dense_from_tensors(
+                    lev0.form, tensors[0], lev0.mask_u,
+                    facet_tensors=ftensors[0], facet_rows=frows0)
                 coarse_fac = {"lu": get_factorization().factor(A0)}
 
         state = {
             "tensors": tensors,
+            "ftensors": ftensors,
             "patch_lufacs": patch_lufacs,
             "coarse_fac": coarse_fac,
         }
@@ -435,10 +522,12 @@ class VelocityMG:
             _, papply = self.patch_solvers[l - 1]
             if self.patch_composition == "multiplicative":
                 tensors = state["tensors"][l]
+                ften = state["ftensors"][l]
 
                 def Aop_flat(xf):
                     return self.level_apply(
-                        l, tensors, xf.reshape(-1, self.d)).reshape(-1)
+                        l, tensors, xf.reshape(-1, self.d),
+                        ftensors=ften).reshape(-1)
 
                 def pc(r):
                     x = papply(lufac, (lev.mask_u * r).reshape(-1),
@@ -466,12 +555,13 @@ class VelocityMG:
         esteig analogue)."""
         lev = self.levels[l]
         tensors = state["tensors"][l]
+        ften = state["ftensors"][l]
         pc = self._smoother_pc(l, state)
         x = lev.mask_u * jnp.ones((lev.V.ndof, self.d), dtype=real_dtype)
         x = x / jnp.linalg.norm(x)
         lam = jnp.asarray(1.0, dtype=real_dtype)
         for _ in range(iters):
-            y = pc(self.level_apply(l, tensors, x))
+            y = pc(self.level_apply(l, tensors, x, ftensors=ften))
             lam = jnp.linalg.norm(y)
             x = y / (lam + 1e-300)
         return lam
@@ -482,7 +572,8 @@ class VelocityMG:
         structure encodes the path: direct / gamma-split f32 /
         gamma-split + f64 iterative refinement)."""
         if "host" in fac:
-            return self._host_coarse.solve(fac["host"], bflat)
+            return self._host_coarse.solve(fac["host"], bflat,
+                                           Jf=fac.get("hostf"))
         if "lu" in fac:
             from ..solvers.batched_lu import get_factorization
 
@@ -506,10 +597,11 @@ class VelocityMG:
         solver (ksp_convergence_test skip), or Chebyshev(smoothing)+PC for
         the graddiv harness (a LINEAR smoother, CG-compatible)."""
         tensors = state["tensors"][l]
+        ften = state["ftensors"][l]
         pc = self._smoother_pc(l, state)
 
         def A(v):
-            return self.level_apply(l, tensors, v)
+            return self.level_apply(l, tensors, v, ftensors=ften)
 
         m = self.smoothing
         if self.smoother_driver == "chebyshev":
@@ -547,7 +639,8 @@ class VelocityMG:
             return self._coarse_solve(state, b)
         x = self._smooth(l, state, b, x0)
         for _ in range(ncoarse if l > 1 else 1):
-            r = b - self.level_apply(l, state["tensors"][l], x)
+            r = b - self.level_apply(l, state["tensors"][l], x,
+                                     ftensors=state["ftensors"][l])
             rc = self._restrict(l - 1, state, r)
             xc = self.vcycle(l - 1, state, rc, jnp.zeros_like(rc),
                              ncoarse=ncoarse)

@@ -324,9 +324,10 @@ class NavierStokesSolver:
 
                 L = vmg.nlevels - 1
                 tensors = state["tensors"][L]
+                ften = state["ftensors"][L]
 
                 def apply_A(v):
-                    return vmg.level_apply(L, tensors, v)
+                    return vmg.level_apply(L, tensors, v, ftensors=ften)
 
                 pc = LSCSchurPC(form, mask_u, solve_A, apply_A,
                                 has_nsp).make_apply(params)
@@ -410,8 +411,9 @@ class NavierStokesSolver:
         # fine-level velocity-block action
         timeit("MatFreeMatMult",
                smooths * (m + 1) + cycles * L * (L + 1) // 2,
-               lambda st, vv: vmg.level_apply(L, st["tensors"][L], vv),
-               state, v)
+               lambda st, vv: vmg.level_apply(
+                   L, st["tensors"][L], vv,
+                   ftensors=st["ftensors"][L]), state, v)
         # one additive/multiplicative patch sweep (the PCPatch solve)
         timeit("PCPATCHSolve", smooths * m,
                lambda st, vv: vmg._smoother_pc(L, st)(vv), state, v)

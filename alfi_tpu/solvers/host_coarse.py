@@ -42,46 +42,73 @@ class HostSparseCoarse:
         c = np.repeat(rows[:, None, :], nld, axis=1).reshape(-1)
         self._r, self._c = r, c
         m = np.asarray(mask_flat)
+        self._m = m
         self._scale = m[r] * m[c]
         self._diag = 1.0 - m
+        self._fr = self._fc = self._fscale = None
+        self._fw = None
         self._cache = (None, None)
         # fingerprint weights: fixed pseudo-random projection so any
         # tensor change flips the key
         rng = np.random.default_rng(0)
         self._w = rng.standard_normal(nc * nld * nld)
 
+    def set_facets(self, facet_rows):
+        """Enable interior-facet coupled contributions (Burman
+        stabilised Jacobian): facet_rows (nif, 2*nld)."""
+        fr = np.asarray(facet_rows)
+        nif, m2 = fr.shape
+        self._fr = np.repeat(fr[:, :, None], m2, axis=2).reshape(-1)
+        self._fc = np.repeat(fr[:, None, :], m2, axis=1).reshape(-1)
+        self._fscale = self._m[self._fr] * self._m[self._fc]
+        rng = np.random.default_rng(1)
+        self._fw = rng.standard_normal(nif * m2 * m2)
+
     # ---------------- host side ----------------
-    def _factor(self, Tvals):
+    def _factor(self, Tvals, Jvals=None):
         from scipy.sparse import coo_matrix
         from scipy.sparse.linalg import splu
 
         data = Tvals.reshape(-1) * self._scale
-        A = coo_matrix((data, (self._r, self._c)),
-                       shape=(self.N, self.N)).tocsc()
+        r, c = self._r, self._c
+        if Jvals is not None:
+            data = np.concatenate(
+                [data, Jvals.reshape(-1) * self._fscale])
+            r = np.concatenate([r, self._fr])
+            c = np.concatenate([c, self._fc])
+        A = coo_matrix((data, (r, c)), shape=(self.N, self.N)).tocsc()
         if self._diag.any():
             from scipy.sparse import diags
 
             A = A + diags(self._diag)
         return splu(A.tocsc())
 
-    def _callback(self, Tvals, fp, b):
+    def _callback(self, Tvals, fp, b, Jvals=None):
         key = float(fp)
         ck, fac = self._cache
         if ck != key or fac is None:
-            fac = self._factor(np.asarray(Tvals, dtype=np.float64))
+            fac = self._factor(
+                np.asarray(Tvals, dtype=np.float64),
+                None if Jvals is None
+                else np.asarray(Jvals, dtype=np.float64))
             self._cache = (key, fac)
         out = fac.solve(np.asarray(b, dtype=np.float64))
         return out.astype(b.dtype)
 
     # ---------------- device side ----------------
-    def solve(self, T, b):
-        """A(T)^{-1} b via host callback; T (nc, nld, nld) element
-        tensors, b (N,)."""
+    def solve(self, T, b, Jf=None):
+        """A(T[, Jf])^{-1} b via host callback; T (nc, nld, nld) cell
+        tensors, Jf (nif, 2nld, 2nld) facet tensors, b (N,)."""
         import jax
         import jax.numpy as jnp
 
         fp = jnp.dot(T.reshape(-1), jnp.asarray(self._w, dtype=T.dtype))
+        out = jax.ShapeDtypeStruct(b.shape, b.dtype)
+        if Jf is None:
+            return jax.pure_callback(self._callback, out, T, fp, b,
+                                     vmap_method="sequential")
+        fp = fp + jnp.dot(Jf.reshape(-1),
+                          jnp.asarray(self._fw, dtype=Jf.dtype))
         return jax.pure_callback(
-            self._callback,
-            jax.ShapeDtypeStruct(b.shape, b.dtype), T, fp, b,
-            vmap_method="sequential")
+            lambda Tv, ff, bb, Jv: self._callback(Tv, ff, bb, Jv),
+            out, T, fp, b, Jf, vmap_method="sequential")

@@ -93,11 +93,18 @@ def assemble_dense_velocity(form, wind, params, mask_u):
     return assemble_dense_from_tensors(form, T, mask_u)
 
 
-def assemble_dense_from_tensors(form, T, mask_u):
+def assemble_dense_from_tensors(form, T, mask_u, facet_tensors=None,
+                                facet_rows=None):
+    """Dense velocity operator from per-cell tensors, optionally plus
+    interior-facet coupled tensors (Burman stabilised Jacobian,
+    facet_rows (nif, 2*nld)); BC rows/cols eliminated to identity."""
     rows = vector_rows(form.V)
     N = form.V.ndof * form.dim
     A = jnp.zeros((N, N), dtype=real_dtype)
     A = A.at[rows[:, :, None], rows[:, None, :]].add(T)
+    if facet_tensors is not None:
+        A = A.at[facet_rows[:, :, None],
+                 facet_rows[:, None, :]].add(facet_tensors)
     m = mask_u.reshape(-1)
     return m[:, None] * A * m[None, :] + jnp.diag(1.0 - m)
 

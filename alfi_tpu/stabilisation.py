@@ -362,6 +362,60 @@ class BurmanStabilisation:
         Rq = jnp.zeros((form.Q.ndof,), dtype=u.dtype)
         return Rv, Rq
 
+    def facet_velocity_tensors(self, u, params):
+        """(nif, 2*nld, 2*nld) per-interior-facet velocity Jacobian of
+        the Burman residual at state ``u`` — NOT advect-scaled; row/col
+        blocks ordered [side-0 cell dofs, side-1 cell dofs], each in
+        the (l*d + component) flattening of the level row maps.
+
+        The reference assembles the FULL stabilised Jacobian into its
+        PCMG/PCPatch operators (/root/reference/alfi/solver.py:204-237
+        adds advect*stab to F; the mg operators are rediscretisations
+        of derivative(F)), so the facet coupling belongs in the level
+        operators and patch matrices.  beta uses the LIVE state
+        (reference BurmanStabilisation gets state=u), so the
+        linearisation includes d(beta)/du — jacfwd of a per-facet
+        kernel mirroring :meth:`residual`."""
+        import jax
+
+        form = self.form
+        fa = self.facets
+        cd = jnp.asarray(form.V.cell_dofs)
+        jinv = form.geom.jinv
+        c0, c1 = fa.cells[:, 0], fa.cells[:, 1]
+        t0, t1 = fa.tab[fa.config[:, 0]], fa.tab[fa.config[:, 1]]
+        g0 = jnp.einsum("fqle,fej->fqlj", fa.gtab[fa.config[:, 0]],
+                        jinv[c0])
+        g1 = jnp.einsum("fqle,fej->fqlj", fa.gtab[fa.config[:, 1]],
+                        jinv[c1])
+        u01 = jnp.stack([u[cd[c0]], u[cd[c1]]], axis=1)  # (nif,2,nl,d)
+        coefc = 0.5 * self.weight * fa.harea ** 2 * fa.scale  # (nif,)
+        w = fa.w
+        wsum = w.sum()
+
+        def kern(uu, t0f, g0f, t1f, g1f, n, cf):
+            u0l, u1l = uu[0], uu[1]
+            uq0 = jnp.einsum("ql,ld->qd", t0f, u0l)
+            uq1 = jnp.einsum("ql,ld->qd", t1f, u1l)
+            gu0 = jnp.einsum("qlj,ld->qdj", g0f, u0l)
+            gu1 = jnp.einsum("qlj,ld->qdj", g1f, u1l)
+            jump = jnp.einsum("qdj,j->qd", gu0 - gu1, n)
+            sp0 = jnp.sqrt(jnp.einsum("qd,qd->q", uq0, uq0) + 1e-10)
+            sp1 = jnp.sqrt(jnp.einsum("qd,qd->q", uq1, uq1) + 1e-10)
+            beta = 0.5 * (w @ sp0 + w @ sp1) / wsum
+            coef = cf * beta
+            tn0 = jnp.einsum("qlj,j->ql", g0f, n)
+            tn1 = jnp.einsum("qlj,j->ql", g1f, n)
+            r0 = coef * jnp.einsum("q,qd,ql->ld", w, jump, tn0)
+            r1 = -coef * jnp.einsum("q,qd,ql->ld", w, jump, tn1)
+            return jnp.stack([r0, r1], axis=0)  # (2, nl, d)
+
+        J = jax.vmap(jax.jacfwd(kern))(
+            u01, t0, g0, t1, g1, fa.normal, coefc)
+        nif = J.shape[0]
+        nld = J.shape[2] * J.shape[3]
+        return J.reshape(nif, 2 * nld, 2 * nld)
+
 
 class StabilisationWrapper:
     """Adapts a stabilisation to the NSForm hook + solver lifecycle."""
@@ -378,10 +432,15 @@ class StabilisationWrapper:
     @property
     def has_velocity_tensors(self):
         """True when per-cell velocity-block Jacobians are available for
-        the MG preconditioner (SUPG/GLS; Burman's facet coupling does
-        not fit the cell-tensor structure — its weight is 3e-3 and its
-        omission from the PC is benign)."""
+        the MG preconditioner (SUPG/GLS)."""
         return isinstance(self.impl, ShakibSUPG)
+
+    @property
+    def has_facet_tensors(self):
+        """True when per-interior-facet velocity Jacobians are available
+        for the MG preconditioner (Burman — see
+        BurmanStabilisation.facet_velocity_tensors)."""
+        return isinstance(self.impl, BurmanStabilisation)
 
     def velocity_tensors_hook(self, z, params):
         """Un-advect-scaled per-cell Jacobian contribution (see
