@@ -74,9 +74,14 @@ class DistributedSolver:
     mesh : jax.sharding.Mesh (1D), one block per device.
     """
 
-    def __init__(self, solver, mesh, axis="mesh", halo_layers=2):
+    def __init__(self, solver, mesh, axis="mesh", halo_layers=2,
+                 partitioner=None):
         if solver.solver_type != "almg":
             raise ValueError("DistributedSolver requires solver_type=almg")
+        if partitioner is None:
+            partitioner = ("rcb" if getattr(solver, "rebalance_vertices",
+                                            False) else "lex")
+        self.partitioner = partitioner
         self.stab = None
         if solver.stabilisation is not None:
             from ..stabilisation import ShakibSUPG
@@ -118,7 +123,12 @@ class DistributedSolver:
 
         # ---------------- partition + halos (host) ----------------
         base = (mh.uniform_meshes[0] if mh.kind == "bary" else mh[0])
-        block0 = coarse_partition(base, nb)
+        if self.partitioner == "rcb":
+            from .decompose import rcb_partition
+
+            block0 = rcb_partition(base, nb)
+        else:
+            block0 = coarse_partition(base, nb)
         blocks, ublocks = propagate_blocks(mh, block0)
         self.blocks = blocks
         self.ublocks = ublocks

@@ -91,6 +91,10 @@ class NavierStokesSolver:
         self.hierarchy = hierarchy
         self.high_accuracy = high_accuracy
         self.verbose = verbose
+        #: --rebalance: the DistributedSolver switches its coarse cell
+        #: partitioner from lexsorted chunks to recursive coordinate
+        #: bisection (parallel/decompose.py rcb_partition)
+        self.rebalance_vertices = rebalance_vertices
 
         mh = problem.mesh_hierarchy(hierarchy, nref)
         if hierarchy_callback is not None:

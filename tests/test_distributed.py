@@ -198,6 +198,60 @@ def test_make_device_mesh_refuses_truncation():
         make_device_mesh(n + 1)
 
 
+def test_rebalance_rcb_partition():
+    """--rebalance switches to recursive coordinate bisection: on the
+    reference's unstructured bfs mesh the block sizes are exactly
+    balanced and the interface (cells adjacent to another block) is no
+    worse than the lexsort chunks; the distributed step still matches
+    the global solver."""
+    import os
+
+    from alfi_tpu.mesh import gmsh_read
+    from alfi_tpu.parallel.decompose import (
+        coarse_partition,
+        rcb_partition,
+        vertex_cells_csr,
+    )
+
+    mesh = gmsh_read(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "bfs2d_coarse12.msh"))
+    nb = 8
+    for part in (coarse_partition(mesh, nb), rcb_partition(mesh, nb)):
+        counts = np.bincount(part, minlength=nb)
+        assert counts.min() > 0
+
+    def interface(part):
+        starts, cv = vertex_cells_csr(mesh)
+        bad = 0
+        for v in range(mesh.num_vertices):
+            blocks = part[cv[starts[v]:starts[v + 1]]]
+            bad += int(blocks.min() != blocks.max())
+        return bad
+
+    lex, rcb = coarse_partition(mesh, nb), rcb_partition(mesh, nb)
+    c = np.bincount(rcb, minlength=nb)
+    assert c.max() - c.min() <= 1  # exact halving
+    assert interface(rcb) <= 1.2 * interface(lex)
+
+    # solver correctness with the rcb decomposition
+    solver = _make(ConstantPressureSolver, hierarchy="uniform",
+                   patch="star", rebalance_vertices=True)
+    mesh8 = make_device_mesh(8)
+    dist = DistributedSolver(solver, mesh8)
+    assert dist.partitioner == "rcb"
+    params = solver.params()
+    z, _ = dist.shard_state(solver.z, params)
+    Fd, _ = dist.residual(z, params)
+    Fg = solver.residual_masked(solver.z, params)
+    dz_g, its_g = solver._linear_step(
+        solver.z, Fg, params, solver._transfer_setup(params))
+    dz_d, its_d = dist.linear_step(z, Fd, params,
+                                   dist.transfer_setup(params))
+    assert its_d == int(its_g)
+    dz_dg = dist.gather_state(dz_d)
+    assert rel(dz_dg[0], dz_g[0]) < 1e-9
+
+
 def test_load_balance_report(capsys):
     """The reference's load_balance analogue: per-device owned cells and
     fine-level velocity dofs, balanced within a reasonable ratio by the
