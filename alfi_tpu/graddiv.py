@@ -56,10 +56,12 @@ class _ZeroBCProblem(NavierStokesProblem):
 class GradDivSolver:
     def __init__(self, dim=2, baseN=8, nref=1, k=2, discretisation="pkp0",
                  hierarchy="uniform", patch="star", smoother="patch",
-                 transfer=True, smoothing=3, diagonal="left", mesh=None):
-        # smoothing default 3 (reference uses chebyshev max_it 2 with
-        # PETSc's GMRES eigenvalue estimate; our cheaper power-iteration
-        # estimate needs one extra step for the same gamma-robustness)
+                 transfer=True, smoothing=2, diagonal="left", mesh=None):
+        # smoothing 2 matches the reference's chebyshev max_it 2
+        # (/root/reference/examples/graddiv/graddiv.py:99-111); the
+        # Arnoldi sigma_max eigenvalue estimate (mg/velocity.py
+        # _estimate_lmax) is tight enough for the same gamma-robustness
+        # (the earlier power-iteration estimate needed a 3rd step)
         if mesh is None:
             if dim == 2:
                 mesh = rectangle_mesh(baseN, baseN, 1, 1, diagonal=diagonal)

@@ -550,21 +550,44 @@ class VelocityMG:
 
         return pc
 
-    def _estimate_lmax(self, l, state, iters=10):
-        """Power iteration on pc(A .) for the Chebyshev bounds (the PETSc
-        esteig analogue)."""
+    def _estimate_lmax(self, l, state, k=10):
+        """Arnoldi-based estimate of the largest eigenvalue of the
+        preconditioned operator — the PETSc gmres-esteig analogue: k
+        Arnoldi steps, then sigma_max of the (k+1, k) Hessenberg.
+        sigma_max(H) >= |Ritz|_max, an upper-flavoured estimate; plain
+        power iteration converges to |lambda_max| FROM BELOW, and the
+        resulting under-estimated Chebyshev interval cost one extra
+        smoothing step vs the reference (round-1 weak finding)."""
         lev = self.levels[l]
         tensors = state["tensors"][l]
         ften = state["ftensors"][l]
         pc = self._smoother_pc(l, state)
-        x = lev.mask_u * jnp.ones((lev.V.ndof, self.d), dtype=real_dtype)
-        x = x / jnp.linalg.norm(x)
-        lam = jnp.asarray(1.0, dtype=real_dtype)
-        for _ in range(iters):
-            y = pc(self.level_apply(l, tensors, x, ftensors=ften))
-            lam = jnp.linalg.norm(y)
-            x = y / (lam + 1e-300)
-        return lam
+
+        def op(x):
+            return pc(self.level_apply(l, tensors, x, ftensors=ften))
+
+        v = lev.mask_u * jnp.ones((lev.V.ndof, self.d),
+                                  dtype=real_dtype)
+        v = v / jnp.linalg.norm(v)
+        Vs = [v]
+        H = jnp.zeros((k + 1, k), dtype=real_dtype)
+        for j in range(k):
+            w = op(Vs[j])
+            for i in range(j + 1):
+                hij = jnp.sum(Vs[i] * w)
+                H = H.at[i, j].set(hij)
+                w = w - hij * Vs[i]
+            hn = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hn)
+            Vs.append(w / (hn + 1e-300))
+        # sigma_max(H) by power iteration on the k x k H^T H
+        x = jnp.ones((k,), dtype=real_dtype)
+        n = jnp.asarray(1.0, dtype=real_dtype)
+        for _ in range(20):
+            y = H.T @ (H @ x)
+            n = jnp.linalg.norm(y)
+            x = y / (n + 1e-300)
+        return jnp.sqrt(n)
 
     # ------------------------------------------------------------------
     def coarse_apply(self, fac, bflat):
