@@ -83,21 +83,32 @@ class DistributedSolver:
                                             False) else "lex")
         self.partitioner = partitioner
         self.stab = None
+        self.stab_facet = None
         if solver.stabilisation is not None:
-            from ..stabilisation import ShakibSUPG
+            from ..stabilisation import BurmanStabilisation, ShakibSUPG
 
-            if not isinstance(solver.stabilisation.impl, ShakibSUPG):
-                raise NotImplementedError(
-                    "distributed Burman stabilisation not implemented "
-                    "yet (interior-facet jump terms need a facet "
-                    "exchange)")
-            if getattr(solver.vmg, "stab", None) is None:
-                raise NotImplementedError(
-                    "distributed stabilisation requires the stabilised "
-                    "level operators (VelocityMG.stab) to be wired")
-            # per-level StabilisationWrappers, mirroring the
-            # single-device PC assembly (mg/velocity.py setup)
-            self.stab = solver.vmg.stab
+            impl = solver.stabilisation.impl
+            if isinstance(impl, ShakibSUPG):
+                if getattr(solver.vmg, "stab", None) is None:
+                    raise NotImplementedError(
+                        "distributed stabilisation requires the "
+                        "stabilised level operators (VelocityMG.stab)")
+                # per-level StabilisationWrappers, mirroring the
+                # single-device PC assembly (mg/velocity.py setup)
+                self.stab = solver.vmg.stab
+            elif isinstance(impl, BurmanStabilisation):
+                if getattr(solver.vmg, "stab_facet", None) is None:
+                    raise NotImplementedError(
+                        "distributed Burman requires the facet-coupled "
+                        "PC (VelocityMG.stab_facet; do not disable "
+                        "ALFI_TPU_BURMAN_PC)")
+                # per-level BurmanStabilisation impls (facets live fully
+                # inside the 2-layer halo, so everything stays
+                # block-local; facet OWNERSHIP = block of the side-0
+                # cell, completed by the interface psum)
+                self.stab_facet = solver.vmg.stab_facet
+            else:
+                raise NotImplementedError(type(impl).__name__)
         #: gamma-split f32 patch/coarse solves (mirrors
         #: VelocityMG.use_woodbury; the pmax'd gamma clamp keeps every
         #: block's capacitance identical to the global one)
@@ -198,6 +209,7 @@ class DistributedSolver:
             (lev.lcd[:, :, :, None] * d
              + np.arange(d)[None, None, None, :]).reshape(
                  lev.nb, lev.mc, -1))
+        self._rows_np[l] = rows
         out = dict(
             lcd=_j(lev.lcd, _I32), rows=_j(rows, _I32),
             owned=_j(lev.owned_cell), live=_j(live),
@@ -235,7 +247,80 @@ class DistributedSolver:
         nb, d = self.nb, self.d
         mh = self.solver.mh
         loc = {}
+        self._rows_np = [None] * self.nlevels
         loc["lev"] = [self._level_arrays(l) for l in range(self.nlevels)]
+
+        # Burman facet tables: per level, each block's locally-complete
+        # facets (both cells live — guaranteed within the 2-layer halo
+        # for every facet adjacent to owned cells or local patches),
+        # owner masks, dof rows and localized static tabulations
+        self._facet_luts = None
+        if self.stab_facet is not None:
+            loc["facet"] = []
+            self._facet_luts = []
+            self._facet_sel = []
+            for l in range(self.nlevels):
+                im = self.stab_facet[l]
+                fa = im.facets
+                st = {k: np.asarray(v)
+                      for k, v in im.facet_statics().items()}
+                fc = np.asarray(fa.cells)
+                lev = self.levs[l]
+                lcells = lev.localize_cells(fc)  # (nb, nif, 2)
+                live_f = np.all(lcells < lev.mc, axis=2)
+                lf = _pad_rows_list(
+                    [np.where(live_f[b])[0] for b in range(nb)], -1)
+                mfl = lf.shape[1]
+                sel = np.clip(lf, 0, None)
+                dead = lf < 0
+                fowner = self.blocks[l][fc[:, 0]]
+                owned_f = np.where(dead, False,
+                                   fowner[sel]
+                                   == np.arange(nb)[:, None])
+                self._facet_sel.append(lf)
+                s01 = np.full((nb, mfl, 2), lev.mc, dtype=np.int64)
+                luts = []
+                for b in range(nb):
+                    ids = lf[b][lf[b] >= 0]
+                    s01[b, : len(ids)] = lcells[b][ids]
+                    lut = np.full(fa.nif + 1, mfl, dtype=np.int64)
+                    lut[ids] = np.arange(len(ids))
+                    luts.append(lut)
+                self._facet_luts.append(luts)
+                # cell-dof tables of the two sides (dead -> dump row L)
+                lcd01 = np.where(
+                    s01[:, :, :, None] < lev.mc,
+                    np.take_along_axis(
+                        lev.lcd,
+                        np.clip(s01, 0, lev.mc - 1).reshape(nb, -1, 1),
+                        axis=1).reshape(nb, mfl, 2, -1),
+                    lev.L)
+                rows_np = self._rows_np[l]
+                frows = np.where(
+                    s01[:, :, :, None] < lev.mc,
+                    np.take_along_axis(
+                        rows_np,
+                        np.clip(s01, 0, lev.mc - 1).reshape(nb, -1, 1),
+                        axis=1).reshape(nb, mfl, 2, -1),
+                    lev.L * d).reshape(nb, mfl, -1)
+
+                def floc(a, fill=0.0):
+                    v = a[sel]
+                    m = dead.reshape(dead.shape
+                                     + (1,) * (v.ndim - 2))
+                    return np.where(m, fill, v)
+
+                loc["facet"].append(dict(
+                    lcd0=_j(lcd01[:, :, 0], _I32),
+                    lcd1=_j(lcd01[:, :, 1], _I32),
+                    frows=_j(frows, _I32), owned=_j(owned_f),
+                    t0=_j(floc(st["t0"]), real_dtype),
+                    t1=_j(floc(st["t1"]), real_dtype),
+                    g0=_j(floc(st["g0"]), real_dtype),
+                    g1=_j(floc(st["g1"]), real_dtype),
+                    n=_j(floc(st["n"]), real_dtype),
+                    coefc=_j(np.where(dead, 0.0, st["coefc"][sel]),
+                             real_dtype)))
 
         # smoother patches (levels 1..): seed-vertex block assignment;
         # one patch group per sweep color (additive = one group of all)
@@ -278,11 +363,38 @@ class DistributedSolver:
                 sp = split_patchset(_PatchSubset(ps, sel),
                                     patch_block[sel], lev)
                 gmeta.append((sp["m"], sp["npm"]))
-                gdicts.append(dict(
+                gd = dict(
                     pdofs=_j(sp["pdofs"], _I32),
                     pcells=_j(sp["pcells"], _I32),
                     pl2p=_j(sp["pl2p"], _I32),
-                    pactive=_j(sp["pactive"])))
+                    pactive=_j(sp["pactive"]))
+                if self.stab_facet is not None:
+                    # block-local slices of the patch facet tables
+                    # (facets adjacent to a block's patches are local)
+                    pfg, fl2pg = vmg.patch_facet_tabs[l - 1]
+                    pfg, fl2pg = pfg[sel], fl2pg[sel]
+                    nif_l = self.stab_facet[l].facets.nif
+                    mfl = int(np.asarray(
+                        loc["facet"][l]["owned"]).shape[1])
+                    npm, mfp = sp["npm"], pfg.shape[1]
+                    pfl = np.full((nb, npm, mfp), mfl, dtype=np.int64)
+                    fl2p_b = np.full((nb, npm) + fl2pg.shape[1:],
+                                     sp["m"], dtype=np.int64)
+                    pb_sel = patch_block[sel]
+                    for b in range(nb):
+                        gsel_b = np.where(pb_sel == b)[0]
+                        n = len(gsel_b)
+                        if n == 0:
+                            continue
+                        ids = pfg[gsel_b]  # global facet ids, pad nif
+                        lids = self._facet_luts[l][b][ids]
+                        assert np.all(lids[ids < nif_l] < mfl), (
+                            f"patch facets missing from block {b}")
+                        pfl[b, :n] = lids
+                        fl2p_b[b, :n] = fl2pg[gsel_b]
+                    gd["pfl"] = _j(pfl, _I32)
+                    gd["fl2p"] = _j(fl2p_b, _I32)
+                gdicts.append(gd)
             self._patch_meta.append(gmeta)
             loc["patch"].append(gdicts)
 
@@ -430,6 +542,16 @@ class DistributedSolver:
         gflat = np.concatenate(
             [gflat, np.full((nb, 1, d), N0d, dtype=np.int64)], axis=1)
         loc["coarse"] = dict(rows=_j(rows0, _I32), gflat=_j(gflat, _I32))
+        if self.stab_facet is not None:
+            # global flat dof rows of the level-0 facets (for the
+            # replicated coarse assembly; owner-masked before the psum)
+            fc0 = np.asarray(self.stab_facet[0].facets.cells)
+            fr_g = np.concatenate(
+                [rows_g[fc0[:, 0]], rows_g[fc0[:, 1]]], axis=1)
+            lf0 = self._facet_sel[0]
+            crows = np.where((lf0 < 0)[:, :, None], N0d,
+                             fr_g[np.clip(lf0, 0, None)])
+            loc["coarse"]["frows"] = _j(crows, _I32)
         if self.use_woodbury:
             # dense grad-div factor columns (global cell id * q + j) for
             # the replicated gamma-split coarse solve
@@ -473,8 +595,10 @@ class DistributedSolver:
         pcell = pcell.at[pst["cl"]].set(buf[pst["cs"]])
         return pcell.at[-1].set(0.0)
 
-    def _level_matvec(self, lv, T, v):
-        """Masked velocity operator on (L+1, d) local arrays."""
+    def _level_matvec(self, lv, T, v, fctx=None):
+        """Masked velocity operator on (L+1, d) local arrays; ``fctx``
+        = (facet tables, owner-masked facet Jacobians) adds the Burman
+        coupling (owned-facet contributions completed by the psum)."""
         mask = lv["mask"]
         v0 = (mask * v).reshape(-1)
         vloc = v0[lv["rows"]]
@@ -482,9 +606,25 @@ class DistributedSolver:
         r = jnp.where(lv["owned"][:, None], r, 0.0)
         L1 = v.shape[0]
         out = jnp.zeros((L1 * v.shape[1],), dtype=v.dtype)
-        out = out.at[lv["rows"]].add(r).reshape(v.shape)
+        out = out.at[lv["rows"]].add(r)
+        if fctx is not None:
+            fl, Jfo = fctx
+            vf = v0[fl["frows"]]
+            rf = jnp.einsum("fij,fj->fi", Jfo, vf)
+            out = out.at[fl["frows"]].add(rf)
+        out = out.reshape(v.shape)
         out = self._exchange(lv, out)
         return mask * out + (1.0 - mask) * v
+
+    def _facet_tensors(self, fl, im, u, params):
+        """Block-local per-facet Burman Jacobians at the injected wind
+        (advect-scaled); returns (raw, owner-masked) — raw feeds the
+        patch matrices (each patch is assembled whole on its owner
+        block), owner-masked feeds matvec/coarse scatters."""
+        u01 = jnp.stack([u[fl["lcd0"]], u[fl["lcd1"]]], axis=1)
+        st = {k: fl[k] for k in ("t0", "t1", "g0", "g1", "n", "coefc")}
+        J = params["advect"] * im.facet_velocity_tensors_from(u01, st)
+        return J, jnp.where(fl["owned"][:, None, None], J, 0.0)
 
     def _tensors(self, lv, form, w_u, params, stab=None):
         """Block-local velocity element tensors; with ``stab`` =
@@ -503,9 +643,27 @@ class DistributedSolver:
             T = T + params["advect"] * Ts
         return jnp.where(lv["live"][:, None, None], T, 0.0)
 
-    def _patch_factor(self, pa, T, m):
+    def _patch_factor(self, pa, T, m, Jf=None):
         Tpad = jnp.concatenate(
             [T, jnp.zeros((1,) + T.shape[1:], dtype=T.dtype)], axis=0)
+        if Jf is not None:
+            Jpad = jnp.concatenate(
+                [Jf, jnp.zeros((1,) + Jf.shape[1:], dtype=Jf.dtype)],
+                axis=0)
+
+            def one(cells_p, l2p_p, act_p, f_p, fl2p_p):
+                Tt = Tpad[cells_p]
+                A = jnp.zeros((m + 1, m + 1), dtype=T.dtype)
+                A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(Tt)
+                A = A.at[fl2p_p[:, :, None],
+                         fl2p_p[:, None, :]].add(Jpad[f_p])
+                A = A[:m, :m]
+                return A + jnp.diag(
+                    jnp.where(act_p, 0.0, 1.0).astype(A.dtype))
+
+            return self.fs.factor(jax.vmap(one)(
+                pa["pcells"], pa["pl2p"], pa["pactive"], pa["pfl"],
+                pa["fl2p"]))
 
         def one(cells_p, l2p_p, act_p):
             Tt = Tpad[cells_p]
@@ -605,7 +763,8 @@ class DistributedSolver:
         return pc
 
     # ---------------- multiplicative color sweeps ----------------
-    def _patch_pc_mult(self, lv, pas, facs, T, symmetrise=True):
+    def _patch_pc_mult(self, lv, pas, facs, T, fctx=None,
+                       symmetrise=True):
         """Ordered multiplicative sweep: per-color additive sub-sweeps
         with block-local residual updates and halo exchange between
         colors (mirrors mg/patches.py build_multiplicative_solver)."""
@@ -618,7 +777,8 @@ class DistributedSolver:
             if symmetrise:
                 seq = seq + seq[::-1]
             for i, c in enumerate(seq):
-                rr = b if i == 0 else b - self._level_matvec(lv, T, x)
+                rr = (b if i == 0
+                      else b - self._level_matvec(lv, T, x, fctx=fctx))
                 x = x + self._patch_apply(lv, pas[c], facs[c],
                                           rr.reshape(-1), r.dtype)
             return mask * x + (1.0 - mask) * r
@@ -709,6 +869,12 @@ class DistributedSolver:
                 aux = (lax.psum(part, self.axis) / im._domain_measure
                        if part is not None else 0.0)
                 stab_ctx[l] = (im, press[l], fwinds[l], aux)
+        fJ, fJo = [None] * nl, [None] * nl
+        if self.stab_facet is not None:
+            for l in range(nl):
+                fJ[l], fJo[l] = self._facet_tensors(
+                    loc["facet"][l], self.stab_facet[l], winds[l],
+                    params)
         gamma = params["gamma"]
         if self.use_woodbury:
             # gamma-split: factor from the gamma-free tensors, apply the
@@ -740,7 +906,7 @@ class DistributedSolver:
                 for l in range(nl)
             ]
             patch_facs = [
-                [self._patch_factor(pa, tensors[l], meta[0])
+                [self._patch_factor(pa, tensors[l], meta[0], Jf=fJ[l])
                  for pa, meta in zip(loc["patch"][l - 1],
                                      self._patch_meta[l - 1])]
                 for l in range(1, nl)
@@ -755,6 +921,9 @@ class DistributedSolver:
             T0 = jnp.where(lv0["owned"][:, None, None], T0loc, 0.0)
             A = jnp.zeros((N0d + 1, N0d + 1), dtype=T0.dtype)
             A = A.at[rows[:, :, None], rows[:, None, :]].add(T0)
+            if fJo[0] is not None:
+                cfr = loc["coarse"]["frows"]
+                A = A.at[cfr[:, :, None], cfr[:, None, :]].add(fJo[0])
             A = lax.psum(A[:N0d, :N0d], self.axis)
             return m0[:, None] * A * m0[None, :] + jnp.diag(1.0 - m0)
 
@@ -774,7 +943,7 @@ class DistributedSolver:
         else:
             coarse_state = self.fs_dense.factor(dense0(tensors[0]))
         return dict(tensors=tensors, patch_facs=patch_facs,
-                    coarse_fac=coarse_state)
+                    coarse_fac=coarse_state, fJo=fJo)
 
     def _coarse_solve(self, loc, state, r):
         lv0 = loc["lev"][0]
@@ -792,13 +961,19 @@ class DistributedSolver:
         mask = lv0["mask"]
         return mask * xl + (1.0 - mask) * r
 
+    def _fctx(self, loc, state, l):
+        if self.stab_facet is None:
+            return None
+        return (loc["facet"][l], state["fJo"][l])
+
     def _smooth(self, loc, state, l, b, x0):
         lv = loc["lev"][l]
         T = state["tensors"][l]
         pas = loc["patch"][l - 1]
         facs = state["patch_facs"][l - 1]
+        fctx = self._fctx(loc, state, l)
         if self.multiplicative:
-            pc = self._patch_pc_mult(lv, pas, facs, T)
+            pc = self._patch_pc_mult(lv, pas, facs, T, fctx=fctx)
         elif self.use_woodbury:
             pc = self._patch_pc_wb(lv, pas[0], facs[0])
         else:
@@ -806,7 +981,7 @@ class DistributedSolver:
         ctx = ShardDotContext(lv["ownerw"], self.axis)
 
         def A(v):
-            return self._level_matvec(lv, T, v)
+            return self._level_matvec(lv, T, v, fctx=fctx)
 
         m = self.solver.smoothing
         x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0, maxit=m,
@@ -836,7 +1011,8 @@ class DistributedSolver:
         if l == 0:
             return self._coarse_solve(loc, state, b)
         x = self._smooth(loc, state, l, b, x0)
-        r = b - self._level_matvec(loc["lev"][l], state["tensors"][l], x)
+        r = b - self._level_matvec(loc["lev"][l], state["tensors"][l],
+                                   x, fctx=self._fctx(loc, state, l))
         rc = self._restrict_mg(loc, tstate, l - 1, r)
         xc = self._vcycle(loc, state, tstate, l - 1, rc,
                           jnp.zeros_like(rc))
@@ -893,9 +1069,22 @@ class DistributedSolver:
         rq = jnp.where(mix["validq"], rq, 0.0)
         L1d = u.shape[0] * u.shape[1]
         Rv = jnp.zeros((L1d,), dtype=u.dtype)
-        Rv = Rv.at[lv["rows"][:mco]].add(
-            rv.reshape(mco, -1)).reshape(u.shape)
-        Rv = self._exchange(lv, Rv)
+        Rv = Rv.at[lv["rows"][:mco]].add(rv.reshape(mco, -1))
+        if self.stab_facet is not None:
+            # owned-facet Burman residual (live-state beta), completed
+            # at interface dofs by the same packed psum as the cells
+            im = self.stab_facet[-1]
+            fl = loc["facet"][-1]
+            st = {k: fl[k]
+                  for k in ("t0", "t1", "g0", "g1", "n", "coefc")}
+            r0, r1 = im.residual_pairs(u[fl["lcd0"]], u[fl["lcd1"]],
+                                       st)
+            rf = jnp.concatenate([r0, r1], axis=1)
+            rf = rf.reshape(rf.shape[0], -1)
+            rf = params["advect"] * jnp.where(fl["owned"][:, None], rf,
+                                              0.0)
+            Rv = Rv.at[fl["frows"]].add(rf)
+        Rv = self._exchange(lv, Rv.reshape(u.shape))
         return (Rv, rq)
 
     def _residual_masked(self, loc, z, params, wloc):

@@ -328,32 +328,68 @@ class BurmanStabilisation:
         else:
             self._sum0 = self._sum1 = None
 
-    def residual(self, z, params):
-        form = self.form
+    def facet_statics(self):
+        """Per-facet static arrays for the explicit-batch kernels: side
+        tabulations, physical gradients, normals, the u-independent
+        coefficient.  The distributed solver localizes these by facet
+        id."""
+        if getattr(self, "_fstat", None) is not None:
+            return self._fstat
+        import jax
+
         fa = self.facets
-        u = z[0]
-        cd = jnp.asarray(form.V.cell_dofs)
-        jinv = form.geom.jinv
-        u0, g0, dofs0 = fa.side_values(cd, jinv, u, 0)
-        u1, g1, dofs1 = fa.side_values(cd, jinv, u, 1)
-        gu0 = jnp.einsum("fqlj,fld->fqdj", g0, u[dofs0])
-        gu1 = jnp.einsum("fqlj,fld->fqdj", g1, u[dofs1])
-        n = fa.normal
+        # always concrete, even when first called inside a jit trace
+        # (the cache must never hold tracers)
+        with jax.ensure_compile_time_eval():
+            jinv = self.form.geom.jinv
+            c0, c1 = fa.cells[:, 0], fa.cells[:, 1]
+            self._fstat = dict(
+                t0=fa.tab[fa.config[:, 0]], t1=fa.tab[fa.config[:, 1]],
+                g0=jnp.einsum("fqle,fej->fqlj",
+                              fa.gtab[fa.config[:, 0]], jinv[c0]),
+                g1=jnp.einsum("fqle,fej->fqlj",
+                              fa.gtab[fa.config[:, 1]], jinv[c1]),
+                n=fa.normal,
+                coefc=0.5 * self.weight * fa.harea ** 2 * fa.scale,
+            )
+        return self._fstat
+
+    def residual_pairs(self, u0_loc, u1_loc, st):
+        """Per-facet residual pair (r0, r1) from explicit batches (the
+        shared kernel of the global and block-local paths; per-facet
+        results are independent of the batch)."""
+        fa = self.facets
+        t0, t1, g0, g1, n = st["t0"], st["t1"], st["g0"], st["g1"], \
+            st["n"]
+        u0 = jnp.einsum("fql,fld->fqd", t0, u0_loc)
+        u1 = jnp.einsum("fql,fld->fqd", t1, u1_loc)
+        gu0 = jnp.einsum("fqlj,fld->fqdj", g0, u0_loc)
+        gu1 = jnp.einsum("fqlj,fld->fqdj", g1, u1_loc)
         jump = jnp.einsum("fqdj,fj->fqd", gu0 - gu1, n)
-        # beta = facet average of sqrt(|u|^2 + 1e-10) (sides agree for CG;
-        # average anyway like avg() does)
+        # beta = facet average of sqrt(|u|^2 + 1e-10) (sides agree for
+        # CG; average anyway like avg() does)
         wsum = fa.w.sum()
         sp0 = jnp.sqrt(jnp.einsum("fqd,fqd->fq", u0, u0) + 1e-10)
         sp1 = jnp.sqrt(jnp.einsum("fqd,fqd->fq", u1, u1) + 1e-10)
         beta = 0.5 * (jnp.einsum("q,fq->f", fa.w, sp0)
                       + jnp.einsum("q,fq->f", fa.w, sp1)) / wsum
-        coef = (0.5 * self.weight * fa.harea ** 2 * beta
-                * fa.scale)  # (nif,)
+        coef = st["coefc"] * beta  # (nif,)
         wq = fa.w
         tn0 = jnp.einsum("fqlj,fj->fql", g0, n)
         tn1 = jnp.einsum("fqlj,fj->fql", g1, n)
         r0 = jnp.einsum("f,q,fqd,fql->fld", coef, wq, jump, tn0)
         r1 = -jnp.einsum("f,q,fqd,fql->fld", coef, wq, jump, tn1)
+        return r0, r1
+
+    def residual(self, z, params):
+        form = self.form
+        fa = self.facets
+        u = z[0]
+        cd = jnp.asarray(form.V.cell_dofs)
+        st = self.facet_statics()
+        dofs0 = cd[fa.cells[:, 0]]
+        dofs1 = cd[fa.cells[:, 1]]
+        r0, r1 = self.residual_pairs(u[dofs0], u[dofs1], st)
         if self._sum0 is not None:
             Rv = self._sum0(r0) + self._sum1(r1)
         else:
@@ -376,21 +412,20 @@ class BurmanStabilisation:
         (reference BurmanStabilisation gets state=u), so the
         linearisation includes d(beta)/du — jacfwd of a per-facet
         kernel mirroring :meth:`residual`."""
-        import jax
-
         form = self.form
         fa = self.facets
         cd = jnp.asarray(form.V.cell_dofs)
-        jinv = form.geom.jinv
-        c0, c1 = fa.cells[:, 0], fa.cells[:, 1]
-        t0, t1 = fa.tab[fa.config[:, 0]], fa.tab[fa.config[:, 1]]
-        g0 = jnp.einsum("fqle,fej->fqlj", fa.gtab[fa.config[:, 0]],
-                        jinv[c0])
-        g1 = jnp.einsum("fqle,fej->fqlj", fa.gtab[fa.config[:, 1]],
-                        jinv[c1])
-        u01 = jnp.stack([u[cd[c0]], u[cd[c1]]], axis=1)  # (nif,2,nl,d)
-        coefc = 0.5 * self.weight * fa.harea ** 2 * fa.scale  # (nif,)
-        w = fa.w
+        st = self.facet_statics()
+        u01 = jnp.stack([u[cd[fa.cells[:, 0]]],
+                         u[cd[fa.cells[:, 1]]]], axis=1)  # (nif,2,nl,d)
+        return self.facet_velocity_tensors_from(u01, st)
+
+    def facet_velocity_tensors_from(self, u01, st):
+        """Same per-facet Jacobians from EXPLICIT per-facet batches (the
+        block-local entry point of the distributed solver)."""
+        import jax
+
+        w = self.facets.w
         wsum = w.sum()
 
         def kern(uu, t0f, g0f, t1f, g1f, n, cf):
@@ -411,7 +446,8 @@ class BurmanStabilisation:
             return jnp.stack([r0, r1], axis=0)  # (2, nl, d)
 
         J = jax.vmap(jax.jacfwd(kern))(
-            u01, t0, g0, t1, g1, fa.normal, coefc)
+            u01, st["t0"], st["g0"], st["t1"], st["g1"], st["n"],
+            st["coefc"])
         nif = J.shape[0]
         nld = J.shape[2] * J.shape[3]
         return J.reshape(nif, 2 * nld, 2 * nld)

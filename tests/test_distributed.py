@@ -40,12 +40,18 @@ CASES = [
           stabilisation_type="supg")),
     (ConstantPressureSolver, 1000.0,
      dict(hierarchy="uniform", patch="star", stabilisation_type="gls")),
+    # SV production config: Burman in the residual, the Jacobian AND
+    # the facet-coupled PC, distributed (owned-facet scatters + psum)
+    (ScottVogeliusSolver, 100.0,
+     dict(hierarchy="bary", patch="macro", stabilisation_type="burman",
+          stabilisation_weight=5e-3)),
 ]
 
 
 @pytest.mark.parametrize("cls,re,kw", CASES,
                          ids=["pkp0-star", "sv-macrostar",
-                              "pkp0-supg-re1000", "pkp0-gls-re1000"])
+                              "pkp0-supg-re1000", "pkp0-gls-re1000",
+                              "sv-burman-re100"])
 def test_distributed_linear_step_matches_global(cls, re, kw):
     solver = _make(cls, re=re, **kw)
     # a nonzero state so the stabilised terms are exercised off the
