@@ -68,7 +68,8 @@ class NavierStokesSolver:
                  restriction=False, smoothing=None,
                  rebalance_vertices=False, hierarchy_callback=None,
                  high_accuracy=False, verbose=True):
-        assert solver_type in {"almg", "allu", "lu", "simple", "lsc"}, (
+        assert solver_type in {"almg", "alamg", "allu", "lu", "simple",
+                               "lsc"}, (
             "Invalid solver type %s" % solver_type)
         if stabilisation_type == "none":
             stabilisation_type = None
@@ -274,15 +275,20 @@ class NavierStokesSolver:
                 lambda z, F, params, tstate=None: lin(z, F, params)
         elif self.solver_type == "almg":
             self._linear_step = self._build_almg_step(project)
+        elif self.solver_type == "alamg":
+            # AL + smoothed-aggregation AMG velocity block — the
+            # reference's hypre/ML baseline
+            # (/root/reference/alfi/solver.py:380-384); expected to LOSE
+            # robustness as gamma/Re grow (the papers' contrast)
+            self._linear_step = self._build_alamg_step(project)
         elif self.solver_type == "simple":
             # weak baseline (the reference's "simple" mode with ML AMG,
             # /root/reference/alfi/solver.py:423-445): gamma=0, velocity
-            # block by a jacobi-chebyshev V-cycle, Schur by -nu Mp^{-1};
-            # iteration counts are EXPECTED to grow with Re — that is
-            # what the AL solvers are measured against.
-            self._linear_step = self._build_almg_step(
-                project, transfer_mode="standard", smoother="jacobi",
-                smoother_driver="chebyshev", cycle="v")
+            # block by one smoothed-aggregation AMG V-cycle (mg/amg.py),
+            # Schur by -nu Mp^{-1}; iteration counts are EXPECTED to
+            # grow with Re — that is what the AL solvers are measured
+            # against.
+            self._linear_step = self._build_alamg_step(project)
         elif self.solver_type == "lsc":
             # the standard non-AL competitor (the papers' core contrast):
             # gamma=0, velocity block by one jacobi-chebyshev V-cycle
@@ -464,6 +470,29 @@ class NavierStokesSolver:
                lambda mi, q: form.apply_pressure_massinv(mi, q), minv,
                r[1])
         return dict(EVENTS)
+
+    def _build_alamg_step(self, project):
+        from .mg.amg import VelocityAMG
+
+        self.vamg = VelocityAMG(self)
+        form, bcset = self.form, self.bcset
+        tol = self.tolerances
+        mask_u = bcset.mask[0]
+        vamg = self.vamg
+
+        @jax.jit
+        def lin(z, F, params):
+            state = vamg.setup(z[0], params, p_fine=z[1])
+            solve_A = vamg.make_solve_A(state)
+            pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+            J = make_jacobian_matvec(form.residual, bcset, z, params)
+            dz, info = fgmres(
+                J, tscale(-1.0, F), pc=pc, rtol=tol["ksp_rtol"],
+                atol=tol["ksp_atol"], maxit=500, restart=30,
+                project=project)
+            return bcset.zero(dz), info["iters"]
+
+        return lambda z, F, params, tstate=None: lin(z, F, params)
 
     # ------------------------------------------------------------------
     def setup_adjoint(self, functional):
