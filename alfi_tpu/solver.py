@@ -291,12 +291,12 @@ class NavierStokesSolver:
             self._linear_step = self._build_alamg_step(project)
         elif self.solver_type == "lsc":
             # the standard non-AL competitor (the papers' core contrast):
-            # gamma=0, velocity block by one jacobi-chebyshev V-cycle
-            # (hypre-preonly analogue), Schur by the Least-Squares
-            # Commutator (/root/reference/alfi/solver.py:447-460)
-            self._linear_step = self._build_almg_step(
-                project, transfer_mode="standard", smoother="jacobi",
-                smoother_driver="chebyshev", cycle="v", schur="lsc")
+            # gamma=0, velocity block by one smoothed-aggregation AMG
+            # V-cycle (hypre-preonly analogue, mg/amg.py), Schur by the
+            # Least-Squares Commutator
+            # (/root/reference/alfi/solver.py:447-460)
+            self._linear_step = self._build_alamg_step(
+                project, schur="lsc")
         else:
             raise NotImplementedError(self.solver_type)
 
@@ -471,7 +471,7 @@ class NavierStokesSolver:
                r[1])
         return dict(EVENTS)
 
-    def _build_alamg_step(self, project):
+    def _build_alamg_step(self, project, schur="massinv"):
         from .mg.amg import VelocityAMG
 
         self.vamg = VelocityAMG(self)
@@ -479,12 +479,24 @@ class NavierStokesSolver:
         tol = self.tolerances
         mask_u = bcset.mask[0]
         vamg = self.vamg
+        has_nsp = self.nsp
 
         @jax.jit
         def lin(z, F, params):
             state = vamg.setup(z[0], params, p_fine=z[1])
             solve_A = vamg.make_solve_A(state)
-            pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+            if schur == "lsc":
+                from .solvers.fieldsplit import LSCSchurPC
+
+                tensors = state["tensors"]
+
+                def apply_A(v):
+                    return vamg.level_apply(tensors, None, v)
+
+                pc = LSCSchurPC(form, mask_u, solve_A, apply_A,
+                                has_nsp).make_apply(params)
+            else:
+                pc = SchurPC(form, mask_u, solve_A).make_apply(params)
             J = make_jacobian_matvec(form.residual, bcset, z, params)
             dz, info = fgmres(
                 J, tscale(-1.0, F), pc=pc, rtol=tol["ksp_rtol"],

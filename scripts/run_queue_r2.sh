@@ -35,6 +35,15 @@ timeout 21600 $SNAP c python examples/iters.py --problem ldc2d \
   --patch star --restriction --re-max 10000 \
   > $LOGS/iters_ldc2d_nref3_re10000.log 2>&1
 
+# E. bfs2d on the real reference coarse mesh (host-telescoped sparse
+#    coarse above the dense cap — VERDICT item 5 "done" criterion)
+timeout 14400 $SNAP e python examples/iters.py --problem bfs2d \
+  --mesh tests/fixtures/bfs2d_coarse12.msh --nref-start 1 --nref-end 1 \
+  --baseN 0 --k 2 --solver-type almg --discretisation pkp0 \
+  --mh uniform --stabilisation-type supg --patch star --smoothing 10 \
+  --restriction --re-max 1000 \
+  > $LOGS/iters_bfs2d_coarse12_nref1_re1000.log 2>&1
+
 # R. roofline placement of the patch apply (VERDICT item 8)
 timeout 7200 $SNAP r python scripts/roofline_patches.py \
   > $LOGS/roofline_patches.log 2>&1
