@@ -309,15 +309,22 @@ def build_multiplicative_solver(patchset, direction=None,
         else [None] * ncolors)
     order_j = np.asarray(order)
 
+    # factor leaves are batch-major (np, ...) except for the
+    # transposed-inverse layout, where the patch axis is minor
+    ax = getattr(fs, "batch_axis", 0)
+
     def apply(lufac, b_flat, Aop):
-        fac_o = jax.tree.map(lambda a: a[order_j], lufac)
+        fac_o = jax.tree.map(
+            lambda a: jnp.take(a, jnp.asarray(order_j), axis=ax), lufac)
 
         def color_solve(c, r_flat):
             rpad = jnp.concatenate(
                 [r_flat, jnp.zeros((1,), dtype=r_flat.dtype)])
             rp = rpad[dofs_c[c]]
             sl = slice(int(bounds[c]), int(bounds[c + 1]))
-            xp = fs.solve(jax.tree.map(lambda a: a[sl], fac_o), rp)
+            take = (lambda a: a[..., sl]) if ax == -1 else (
+                lambda a: a[sl])
+            xp = fs.solve(jax.tree.map(take, fac_o), rp)
             if sums_c[c] is not None:
                 return sums_c[c](xp.astype(r_flat.dtype))
             xp = jnp.where(act_c[c], xp, 0.0)
@@ -515,15 +522,21 @@ def make_patch_factor_parts(patchset):
     return factor_parts
 
 
-def _gather_scatter(patchset):
+def _gather_scatter(patchset, transposed=False):
+    """Patch gather/scatter closures; ``transposed=True`` works in the
+    patch-minor (m, np) vector layout used by the transposed-inverse
+    apply (solvers/patch_pallas.py) — the gather produces it directly
+    from the transposed dof table, so no on-device relayout happens."""
     import jax.numpy as jnp
 
     from ..utils.scatter import default_use_tables, make_gather_sum
 
-    dofs = jnp.asarray(patchset.dofs)
-    active = jnp.asarray(patchset.active)
+    dofs_np = patchset.dofs.T if transposed else patchset.dofs
+    active_np = patchset.active.T if transposed else patchset.active
+    dofs = jnp.asarray(dofs_np)
+    active = jnp.asarray(active_np)
     # pad slots carry patchset.nflat and are dropped by the table
-    gsum = (make_gather_sum(patchset.dofs, patchset.nflat)
+    gsum = (make_gather_sum(dofs_np, patchset.nflat)
             if default_use_tables() else None)
 
     def gather(r_flat):
@@ -554,13 +567,15 @@ def build_patch_solver(patchset):
     from ..solvers.batched_lu import get_factorization
 
     fs = get_factorization("patch")
-    gather, scatter = _gather_scatter(patchset)
+    transposed = getattr(fs, "batch_axis", 0) == -1
+    gather, scatter = _gather_scatter(patchset, transposed=transposed)
+    fsolve = fs.solve_t if transposed else fs.solve
 
     def factor(tensors):
         return fs.factor(assemble_patch_matrices(patchset, tensors))
 
     def apply(lufac, r_flat):
-        xp = fs.solve(lufac, gather(r_flat))
+        xp = fsolve(lufac, gather(r_flat))
         return scatter(xp, r_flat.dtype)
 
     return factor, apply

@@ -41,6 +41,23 @@ class MGLevel:
         self.row_sum = (make_gather_sum(np.asarray(rows),
                                         V.ndof * V.value_size)
                         if default_use_tables() else None)
+        self.rows_t = None
+        self.row_sum_t = None
+
+    def ensure_transposed(self):
+        """Cell-minor gather/sum companions for the transposed
+        level_apply (ALFI_TPU_LEVEL_APPLY=t): vectors live as
+        (nld, nc) so the element-tensor stream (i, j, c) has the large
+        cell axis on lanes — see solvers/patch_pallas.py for why the
+        batch-major (c, i, j) layout wastes most of its HBM stream on
+        XLA's minor-dim tile padding."""
+        if self.rows_t is None:
+            from ..utils.scatter import make_gather_sum
+
+            rows_np = np.asarray(self.rows)
+            self.rows_t = jnp.asarray(rows_np.T)
+            self.row_sum_t = make_gather_sum(
+                rows_np.T, self.V.ndof * self.V.value_size)
 
 
 class VelocityMG:
@@ -95,6 +112,16 @@ class VelocityMG:
             rows = jnp.asarray(np.asarray(vector_rows(V)))
             self.levels.append(MGLevel(V, form, mask_u, rows))
             spaces.append(V)
+
+        import os as _oslvl
+
+        #: cell-minor element-tensor layout for the level matvecs
+        #: (see MGLevel.ensure_transposed)
+        self.transposed_apply = (
+            _oslvl.environ.get("ALFI_TPU_LEVEL_APPLY") == "t")
+        if self.transposed_apply:
+            for lev in self.levels:
+                lev.ensure_transposed()
 
         # P1FB in 3D needs the bubble flux fix as its "standard" transfer
         # (/root/reference/alfi/transfer.py:334-356); everything else uses
@@ -235,6 +262,7 @@ class VelocityMG:
                 for l in range(self.nlevels)
             ]
             self.facet_rows, self.facet_row_sums = [], []
+            self.facet_rows_t, self.facet_row_sums_t = [], []
             for l in range(self.nlevels):
                 fa = self.stab_facet[l].facets
                 rows_np = np.asarray(self.levels[l].rows)
@@ -246,6 +274,13 @@ class VelocityMG:
                     make_gather_sum(frows,
                                     self.levels[l].V.ndof * d)
                     if default_use_tables() else None)
+                if self.transposed_apply:
+                    self.facet_rows_t.append(jnp.asarray(frows.T))
+                    self.facet_row_sums_t.append(make_gather_sum(
+                        frows.T, self.levels[l].V.ndof * d))
+                else:
+                    self.facet_rows_t.append(None)
+                    self.facet_row_sums_t.append(None)
             self.patch_facet_tabs = [
                 patch_facet_tables(self.patchsets[l - 1],
                                    self.stab_facet[l].facets,
@@ -261,23 +296,44 @@ class VelocityMG:
     # ------------------------------------------------------------------
     def level_apply(self, l, tensors, v, ftensors=None):
         """A_l v on (ndof, d) arrays with eliminated BCs; ``ftensors``
-        adds the interior-facet coupled (Burman) part."""
+        adds the interior-facet coupled (Burman) part.
+
+        Tensor orientation is dispatched on shape: batch-major
+        (nc, nld, nld) runs the einsum path; cell-minor (nld, nld, nc)
+        — produced by setup under ALFI_TPU_LEVEL_APPLY=t — runs a
+        multiply-reduce over cell-lane vectors, streaming the operator
+        without XLA's minor-dim tile padding."""
         lev = self.levels[l]
         v0 = (lev.mask_u * v).reshape(-1)
-        vloc = v0[lev.rows]
-        rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
-        if lev.row_sum is not None:
-            rflat = lev.row_sum(rloc)
+        nld = lev.rows.shape[1]
+        if tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
+            vloc = v0[lev.rows_t]  # (nld, nc)
+            rloc = jnp.sum(tensors * vloc[None, :, :].astype(
+                tensors.dtype), axis=1)
+            rflat = lev.row_sum_t(rloc.astype(v.dtype))
         else:
-            rflat = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
-            rflat = rflat.at[lev.rows].add(rloc)
-        if ftensors is not None:
-            vf = v0[self.facet_rows[l]]
-            rf = jnp.einsum("fij,fj->fi", ftensors, vf)
-            if self.facet_row_sums[l] is not None:
-                rflat = rflat + self.facet_row_sums[l](rf)
+            vloc = v0[lev.rows]
+            rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
+            if lev.row_sum is not None:
+                rflat = lev.row_sum(rloc)
             else:
-                rflat = rflat.at[self.facet_rows[l]].add(rf)
+                rflat = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
+                rflat = rflat.at[lev.rows].add(rloc)
+        if ftensors is not None:
+            nfd = self.facet_rows[l].shape[1]
+            if ftensors.shape[-1] != nfd:  # facet-minor (i, j, nif)
+                vf = v0[self.facet_rows_t[l]]
+                rf = jnp.sum(ftensors * vf[None, :, :].astype(
+                    ftensors.dtype), axis=1)
+                rflat = rflat + self.facet_row_sums_t[l](
+                    rf.astype(v.dtype))
+            else:
+                vf = v0[self.facet_rows[l]]
+                rf = jnp.einsum("fij,fj->fi", ftensors, vf)
+                if self.facet_row_sums[l] is not None:
+                    rflat = rflat + self.facet_row_sums[l](rf)
+                else:
+                    rflat = rflat.at[self.facet_rows[l]].add(rf)
         r = rflat.reshape(lev.V.ndof, self.d)
         return lev.mask_u * r + (1.0 - lev.mask_u) * v
 
@@ -485,6 +541,22 @@ class VelocityMG:
                     facet_tensors=ftensors[0], facet_rows=frows0)
                 coarse_fac = {"lu": get_factorization().factor(A0)}
 
+        if self.transposed_apply:
+            # pack the step-side operator stream cell-minor; skip any
+            # level where the shape dispatch in level_apply would be
+            # ambiguous (nc == nld, tiny test meshes only).  The
+            # batch-major lists above were already consumed by the
+            # setup-side assembly (patches, diagonals, coarse factor).
+            tensors = [
+                (jnp.moveaxis(T, 0, -1)
+                 if T.shape[0] != T.shape[-1] else T)
+                for T in tensors
+            ]
+            ftensors = [
+                (jnp.moveaxis(F, 0, -1)
+                 if F is not None and F.shape[0] != F.shape[-1] else F)
+                for F in ftensors
+            ]
         state = {
             "tensors": tensors,
             "ftensors": ftensors,

@@ -172,10 +172,27 @@ class _ExplicitInverseFactorization:
     matvec on the native-f32 MXU instead of in emulated f64.  The patch
     sweep is a PRECONDITIONER inside (flexible) FGMRES, which tolerates
     an inexact application by construction; iteration-count parity is
-    the acceptance gate (measured on the high-Re sweeps)."""
+    the acceptance gate (measured on the high-Re sweeps).
 
-    def __init__(self, apply_dtype=None):
+    ``transposed=True``: store the inverses PATCH-MINOR, (m, m, np)
+    instead of (np, m, m).  XLA tiles the two minor dims of an f32
+    array to (8, 128), so batch-major inverses with m ~ 14-50 are
+    physically 2.5-9x their logical bytes and the bandwidth-bound apply
+    streams mostly padding; patch-minor layout makes the padding
+    negligible (np >> 128).  See solvers/patch_pallas.py.  The apply
+    takes/returns patch-minor vectors via :meth:`solve_t` (the hot
+    path, wired through mg/patches.build_patch_solver); :meth:`solve`
+    keeps the batch-major interface for the remaining callers.
+
+    ``use_pallas=True``: run the transposed contraction as the fused
+    Pallas kernel instead of the XLA multiply-reduce."""
+
+    def __init__(self, apply_dtype=None, transposed=False,
+                 use_pallas=False):
         self.apply_dtype = apply_dtype
+        self.transposed = transposed
+        self.use_pallas = use_pallas
+        self.batch_axis = -1 if transposed else 0
 
     def factor(self, A):
         m = A.shape[-1]
@@ -184,9 +201,31 @@ class _ExplicitInverseFactorization:
             lu, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape))
         if self.apply_dtype is not None:
             inv = inv.astype(self.apply_dtype)
+        if self.transposed:
+            inv = jnp.moveaxis(inv, 0, -1)  # (m, m, np)
+            if self.use_pallas:
+                from .patch_pallas import pad_patch_axis
+
+                inv = pad_patch_axis(inv)
         return inv
 
+    def solve_t(self, Ainv, rp):
+        """Patch-minor apply: rp (m, np) -> (m, np)."""
+        from .patch_pallas import (
+            apply_transposed_pallas,
+            apply_transposed_xla,
+        )
+
+        app = (apply_transposed_pallas if self.use_pallas
+               else apply_transposed_xla)
+        return app(Ainv, rp.astype(Ainv.dtype)).astype(rp.dtype)
+
     def solve(self, Ainv, b):
+        if self.transposed:
+            # compat path for batch-major callers (multiplicative
+            # color sweeps, distributed blocks): transpose the small
+            # vectors, never the factor
+            return self.solve_t(Ainv, b.T).T
         if self.apply_dtype is not None:
             y = jnp.einsum("...ij,...j->...i", Ainv,
                            b.astype(self.apply_dtype))
@@ -231,10 +270,16 @@ def get_factorization(kind="dense"):
 
             _fs[kind] = _ScipyFactorization(real_dtype)
         elif kind == "patch":
-            # ALFI_TPU_PATCH_APPLY=f32: f64 factor, f32 MXU apply
-            app = os.environ.get("ALFI_TPU_PATCH_APPLY")
+            # ALFI_TPU_PATCH_APPLY: f64 factor always; apply variants
+            #   f32  — f32 batch-major einsum
+            #   f32t — f32 patch-minor layout, XLA multiply-reduce
+            #   f32p — f32 patch-minor layout, fused Pallas kernel
+            #   t    — f64 patch-minor (layout effect in isolation)
+            app = os.environ.get("ALFI_TPU_PATCH_APPLY", "")
             _fs[kind] = _ExplicitInverseFactorization(
-                jnp.float32 if app == "f32" else None)
+                jnp.float32 if app.startswith("f32") else None,
+                transposed=app in ("f32t", "f32p", "t"),
+                use_pallas=app == "f32p")
         else:
             _fs[kind] = _QRFactorization()
     return _fs[kind]

@@ -1,0 +1,115 @@
+"""Fused patch-inverse application as a Pallas TPU kernel.
+
+The additive patch sweep applies explicit dense patch inverses
+(solvers/batched_lu.py _ExplicitInverseFactorization — the TPU
+formulation of the reference's ``patch_pc_patch_dense_inverse``,
+/root/reference/alfi/solver.py:599-602).  Each application streams the
+whole inverse array from HBM, so its speed of light is bytes/bandwidth
+— but XLA tiles the two MINOR dims of an ``(np, m, m)`` f32 array to
+(8, 128), and with patch sizes m ~ 14-50 the physical array is 2.5-9x
+the logical bytes: the "bandwidth-bound" op spends most of its time
+streaming layout padding.
+
+Fix: store the inverses patch-minor, ``fac[i, j, p] = inv[p, i, j]``
+with shape (m, m, np).  The lane dimension is now the large patch axis
+(np >> 128, negligible padding) and the batched GEMV becomes m^2 VPU
+FMAs over patch-vectors:
+
+    out[i, p] = sum_j fac[i, j, p] * r[j, p]
+
+This module provides that contraction as a Pallas kernel with an
+explicit grid over patch blocks, streaming (m, m, B) tiles through VMEM
+(the pallas_call pipeline double-buffers the HBM->VMEM copies), plus the
+equivalent plain-XLA reduction used as fallback and correctness
+reference.  On CPU the kernel runs in interpreter mode (used by the
+tests); on TPU it compiles via Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_patches(m):
+    """Lane-block size: keep the double-buffered (m, m, B) working set
+    comfortably inside ~16 MB VMEM."""
+    if m <= 24:
+        return 1024
+    if m <= 40:
+        return 512
+    return 256
+
+
+def _gemv_kernel(a_ref, r_ref, o_ref):
+    m = a_ref.shape[0]
+    acc = a_ref[:, 0, :] * r_ref[0:1, :]
+    for j in range(1, m):
+        acc = acc + a_ref[:, j, :] * r_ref[j : j + 1, :]
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _apply_padded(fac, rp, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, _, npad = fac.shape
+    B = _block_patches(m)
+    grid = (npad // B,)
+    ms = {} if interpret else {"memory_space": pltpu.VMEM}
+    return pl.pallas_call(
+        _gemv_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, m, B), lambda i: (0, 0, i), **ms),
+            pl.BlockSpec((m, B), lambda i: (0, i), **ms),
+        ],
+        out_specs=pl.BlockSpec((m, B), lambda i: (0, i), **ms),
+        out_shape=jax.ShapeDtypeStruct((m, npad), fac.dtype),
+        interpret=interpret,
+    )(fac, rp)
+
+
+def pad_patch_axis(fac):
+    """Pad the minor (patch) axis of an (m, m, np) factor to the kernel
+    block size.  Done once at factor time so the hot apply never pads
+    the large array."""
+    m = fac.shape[0]
+    B = _block_patches(m)
+    npat = fac.shape[-1]
+    npad = -(-npat // B) * B
+    if npad != npat:
+        fac = jnp.pad(fac, ((0, 0), (0, 0), (0, npad - npat)))
+    return fac
+
+
+def apply_transposed_pallas(fac, rp):
+    """out (m, np) = batched GEMV of patch-minor inverses ``fac``
+    (m, m, npad — pre-padded via :func:`pad_patch_axis`) against
+    patch-minor rhs ``rp`` (m, np)."""
+    npat = rp.shape[-1]
+    # factors normally arrive pre-padded; sub-batches sliced out of a
+    # padded factor (multiplicative color sweeps) get re-padded here
+    fac = pad_patch_axis(fac)
+    m, _, npad = fac.shape
+    if npad != npat:
+        rp = jnp.pad(rp, ((0, 0), (0, npad - npat)))
+    interpret = jax.default_backend() == "cpu"
+    out = _apply_padded(fac, rp.astype(fac.dtype), interpret)
+    return out[:, :npat]
+
+
+def apply_transposed_xla(fac, rp):
+    """Plain-XLA form of the same contraction: elementwise multiply +
+    reduce over j, which XLA fuses into a single stream over ``fac``
+    without relayouting to batch-major (an einsum/dot_general with the
+    batch dim minor-most may transpose operands first)."""
+    npat = rp.shape[-1]
+    npad = fac.shape[-1]
+    if npad != npat:
+        rp = jnp.pad(rp, ((0, 0), (0, npad - npat)))
+    out = jnp.sum(fac * rp[None, :, :].astype(fac.dtype), axis=1)
+    return out[:, :npat]

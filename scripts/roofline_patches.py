@@ -14,10 +14,17 @@ legitimate).
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if os.environ.get("ALFI_TPU_FORCE_CPU") == "1":
+    # sitecustomize overwrites JAX_PLATFORMS; force CPU via config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def measure(solver):
@@ -79,5 +86,38 @@ def main(nref=2):
     print(json.dumps({"nref": nref, **measure(solver)}))
 
 
+def run_variants(nref):
+    """Measure every patch-apply variant in its own subprocess (the
+    factorisation binds ALFI_TPU_PATCH_APPLY once per process):
+
+      ""     f64 emulated einsum, batch-major (np, m, m)
+      f32    f32 einsum, batch-major
+      f32t   f32 patch-minor (m, m, np) XLA multiply-reduce
+      f32p   f32 patch-minor fused Pallas kernel
+
+    The batch-major layouts are physically padded by XLA's (8, 128)
+    minor-dim tiling (2.5-9x at patch sizes), so the roofline
+    'frac_of_HBM_bound' computed from LOGICAL bytes understates them;
+    the patch-minor variants are the ones that can actually reach it."""
+    import os
+    import subprocess
+
+    for variant in ["", "f32", "f32t", "f32p"]:
+        env = dict(os.environ, ALFI_TPU_PATCH_APPLY=variant)
+        r = subprocess.run(
+            [sys.executable, __file__, str(nref), "--one"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        print(json.dumps({"variant": variant or "f64",
+                          **json.loads(line)}), flush=True)
+        if r.returncode != 0:
+            print(json.dumps({"variant": variant or "f64",
+                              "error": r.stderr[-800:]}), flush=True)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2)
+    nref = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if "--one" in sys.argv:
+        main(nref)
+    else:
+        run_variants(nref)
