@@ -218,7 +218,11 @@ class _ExplicitInverseFactorization:
 
         app = (apply_transposed_pallas if self.use_pallas
                else apply_transposed_xla)
-        return app(Ainv, rp.astype(Ainv.dtype)).astype(rp.dtype)
+        # bf16 factors: only the stored inverses are bf16 — the
+        # residual and the accumulation stay f32
+        rdt = (jnp.float32 if Ainv.dtype == jnp.bfloat16
+               else Ainv.dtype)
+        return app(Ainv, rp.astype(rdt)).astype(rp.dtype)
 
     def solve(self, Ainv, b):
         if self.transposed:
@@ -271,15 +275,21 @@ def get_factorization(kind="dense"):
             _fs[kind] = _ScipyFactorization(real_dtype)
         elif kind == "patch":
             # ALFI_TPU_PATCH_APPLY: f64 factor always; apply variants
-            #   f32  — f32 batch-major einsum
-            #   f32t — f32 patch-minor layout, XLA multiply-reduce
-            #   f32p — f32 patch-minor layout, fused Pallas kernel
-            #   t    — f64 patch-minor (layout effect in isolation)
+            #   f32   — f32 batch-major einsum
+            #   f32t  — f32 patch-minor layout, XLA multiply-reduce
+            #   f32p  — f32 patch-minor layout, fused Pallas kernel
+            #   bf16t / bf16p — bf16-STORED patch-minor inverses
+            #       (half the HBM stream), f32 residual + accumulation;
+            #       iteration-count parity on the high-Re sweeps is the
+            #       acceptance gate
+            #   t     — f64 patch-minor (layout effect in isolation)
             app = os.environ.get("ALFI_TPU_PATCH_APPLY", "")
+            dt = (jnp.float32 if app.startswith("f32")
+                  else jnp.bfloat16 if app.startswith("bf16") else None)
             _fs[kind] = _ExplicitInverseFactorization(
-                jnp.float32 if app.startswith("f32") else None,
-                transposed=app in ("f32t", "f32p", "t"),
-                use_pallas=app == "f32p")
+                dt, transposed=app in ("f32t", "f32p", "bf16t",
+                                       "bf16p", "t"),
+                use_pallas=app in ("f32p", "bf16p"))
         else:
             _fs[kind] = _QRFactorization()
     return _fs[kind]

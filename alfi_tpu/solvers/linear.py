@@ -132,19 +132,39 @@ def woodbury_dense_factor(M, B, gamma):
     M32, B32 = M.astype(dt), B.astype(dt)
     from ..mg.patches import woodbury_effective_gamma
 
-    Mlu = jax.scipy.linalg.lu_factor(M32)
-    Y = jax.scipy.linalg.lu_solve(Mlu, B32)
+    if M.shape[0] > 8192:
+        # XLA's blocked f32 LuDecomposition overflows scoped vmem on
+        # v5e above N ~ 8k (measured: N=13220 exceeds the 16M limit);
+        # QR is blocked differently and survives
+        Qm, Rm = jnp.linalg.qr(M32)
+        fac = {"Qm": Qm, "Rm": Rm}
+    else:
+        fac = {"Mlu": jax.scipy.linalg.lu_factor(M32)}
+
+    def msolve(b32):
+        if "Mlu" in fac:
+            return jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
+        return jax.scipy.linalg.solve_triangular(
+            fac["Rm"], fac["Qm"].T @ b32, lower=False)
+
+    Y = msolve(B32)
     R = B.shape[1]
     S = B32.T @ Y
     geff = woodbury_effective_gamma(gamma, S)
     C = jnp.eye(R, dtype=dt) / geff + S
     Clu = jax.scipy.linalg.lu_factor(C)
-    return {"Mlu": Mlu, "Clu": Clu, "Y": Y, "B32": B32}
+    fac.update(Clu=Clu, Y=Y, B32=B32)
+    return fac
 
 
 def woodbury_dense_apply(fac, b):
     dt = jnp.float32
-    y = jax.scipy.linalg.lu_solve(fac["Mlu"], b.astype(dt))
+    b32 = b.astype(dt)
+    if "Mlu" in fac:
+        y = jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
+    else:
+        y = jax.scipy.linalg.solve_triangular(
+            fac["Rm"], fac["Qm"].T @ b32, lower=False)
     s = jax.scipy.linalg.lu_solve(fac["Clu"], fac["B32"].T @ y)
     return (y - fac["Y"] @ s).astype(b.dtype)
 

@@ -44,10 +44,15 @@ def _block_patches(m):
 
 
 def _gemv_kernel(a_ref, r_ref, o_ref):
+    # accumulate in the output dtype (f32) regardless of the stored
+    # factor dtype, so bf16 factors halve the HBM stream without
+    # compounding rounding in the j-sum
     m = a_ref.shape[0]
-    acc = a_ref[:, 0, :] * r_ref[0:1, :]
+    dt = o_ref.dtype
+    acc = a_ref[:, 0, :].astype(dt) * r_ref[0:1, :].astype(dt)
     for j in range(1, m):
-        acc = acc + a_ref[:, j, :] * r_ref[j : j + 1, :]
+        acc = acc + (a_ref[:, j, :].astype(dt)
+                     * r_ref[j : j + 1, :].astype(dt))
     o_ref[:] = acc
 
 
@@ -60,6 +65,8 @@ def _apply_padded(fac, rp, interpret):
     B = _block_patches(m)
     grid = (npad // B,)
     ms = {} if interpret else {"memory_space": pltpu.VMEM}
+    out_dtype = (jnp.float32 if fac.dtype == jnp.bfloat16
+                 else fac.dtype)
     return pl.pallas_call(
         _gemv_kernel,
         grid=grid,
@@ -68,7 +75,7 @@ def _apply_padded(fac, rp, interpret):
             pl.BlockSpec((m, B), lambda i: (0, i), **ms),
         ],
         out_specs=pl.BlockSpec((m, B), lambda i: (0, i), **ms),
-        out_shape=jax.ShapeDtypeStruct((m, npad), fac.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, npad), out_dtype),
         interpret=interpret,
     )(fac, rp)
 
@@ -111,5 +118,6 @@ def apply_transposed_xla(fac, rp):
     npad = fac.shape[-1]
     if npad != npat:
         rp = jnp.pad(rp, ((0, 0), (0, npad - npat)))
-    out = jnp.sum(fac * rp[None, :, :].astype(fac.dtype), axis=1)
+    dt = jnp.float32 if fac.dtype == jnp.bfloat16 else fac.dtype
+    out = jnp.sum(fac.astype(dt) * rp[None, :, :].astype(dt), axis=1)
     return out[:, :npat]

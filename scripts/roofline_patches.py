@@ -102,7 +102,7 @@ def run_variants(nref):
     import os
     import subprocess
 
-    for variant in ["", "f32", "f32t", "f32p"]:
+    for variant in ["", "f32", "f32t", "f32p", "bf16t", "bf16p"]:
         env = dict(os.environ, ALFI_TPU_PATCH_APPLY=variant)
         r = subprocess.run(
             [sys.executable, __file__, str(nref), "--one"],

@@ -51,4 +51,10 @@ stage t2 7200 $LOGS/bench_f32p_levelt.log \
 stage t3 7200 $LOGS/bench_default_control.log \
   python bench.py
 
+# T4. bf16-stored patch inverses (half the dominant stream);
+#     iteration counts in "extra" are the acceptance gate
+stage t4 7200 $LOGS/bench_bf16t_levelt.log \
+  env ALFI_TPU_PATCH_APPLY=bf16t ALFI_TPU_LEVEL_APPLY=t \
+  python bench.py
+
 echo QUEUE_R2B_DONE

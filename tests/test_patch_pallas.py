@@ -78,7 +78,7 @@ def patch_fs(request):
     batched_lu._fs.update(saved)
 
 
-@pytest.mark.parametrize("variant", ["f32", "f32t", "f32p"])
+@pytest.mark.parametrize("variant", ["f32", "f32t", "f32p", "bf16t"])
 def test_patch_solver_end_to_end(patch_fs, variant):
     """build_patch_solver through a real star patchset: the transposed
     gather/apply/scatter pipeline must reproduce the batch-major f64
@@ -101,13 +101,17 @@ def test_patch_solver_end_to_end(patch_fs, variant):
     f0, a0 = build_patch_solver(ps)
     x0 = np.asarray(a0(f0(T), r))
 
+    dt = jnp.bfloat16 if variant.startswith("bf16") else jnp.float32
     patch_fs(_ExplicitInverseFactorization(
-        jnp.float32, transposed=variant in ("f32t", "f32p"),
+        dt, transposed=variant in ("f32t", "f32p", "bf16t"),
         use_pallas=variant == "f32p"))
     f1, a1 = build_patch_solver(ps)
     x1 = np.asarray(a1(f1(T), r))
     rel = np.linalg.norm(x1 - x0) / np.linalg.norm(x0)
-    assert rel < 1e-5, (variant, rel)
+    # bf16 stores the inverses with an 8-bit mantissa: ~1e-2 relative,
+    # a smoother-quality (not solution-accuracy) question
+    tol = 3e-2 if variant.startswith("bf16") else 1e-5
+    assert rel < tol, (variant, rel)
 
 
 def test_multiplicative_sweep_transposed(patch_fs):
