@@ -123,7 +123,7 @@ def assemble_dense_graddiv_factors(form, mask_u):
     return mask_u.reshape(-1)[:, None] * B
 
 
-def woodbury_dense_factor(M, B, gamma):
+def woodbury_dense_factor(M, B, gamma, qr_threshold=8192):
     """Arrays-only factor state for the f32 gamma-split dense solve
     (see mg/patches.py build_patch_solver_woodbury); pairs with
     :func:`woodbury_dense_apply` so the state can cross jit boundaries
@@ -132,7 +132,7 @@ def woodbury_dense_factor(M, B, gamma):
     M32, B32 = M.astype(dt), B.astype(dt)
     from ..mg.patches import woodbury_effective_gamma
 
-    if M.shape[0] > 8192:
+    if M.shape[0] > qr_threshold:
         # XLA's blocked f32 LuDecomposition overflows scoped vmem on
         # v5e above N ~ 8k (measured: N=13220 exceeds the 16M limit);
         # QR is blocked differently and survives

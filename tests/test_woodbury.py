@@ -87,3 +87,28 @@ def test_woodbury_almg_end_to_end():
             assert info["linear_iter"] <= 20
     finally:
         cfg.set_use_woodbury(old)
+
+
+def test_woodbury_dense_qr_fallback_matches_lu():
+    """Above the vmem-safe size the coarse M-factor switches from
+    blocked f32 LU to QR (solvers/linear.py qr_threshold); the two
+    formulations must produce the same Woodbury solve."""
+    from alfi_tpu.solvers.linear import (
+        woodbury_dense_apply,
+        woodbury_dense_factor,
+    )
+
+    rng = np.random.default_rng(3)
+    N, R = 60, 8
+    A = rng.normal(size=(N, N))
+    M = jnp.asarray(A @ A.T + N * np.eye(N))
+    B = jnp.asarray(rng.normal(size=(N, R)))
+    gamma = jnp.asarray(1e4)
+    b = jnp.asarray(rng.normal(size=(N,)))
+
+    x_lu = woodbury_dense_apply(
+        woodbury_dense_factor(M, B, gamma), b)
+    x_qr = woodbury_dense_apply(
+        woodbury_dense_factor(M, B, gamma, qr_threshold=0), b)
+    rel = float(jnp.linalg.norm(x_qr - x_lu) / jnp.linalg.norm(x_lu))
+    assert rel < 1e-5, rel
