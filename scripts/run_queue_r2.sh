@@ -46,7 +46,7 @@ stage() {
 # B. 3D north star (VERDICT item 2): ldc3d [P2+FB]^3-P0 SUPG almg,
 #    Re->5000, nref=1
 stage b 14400 $LOGS/ldc3d_p2fb_nref1_re5000.log \
-  python examples/iters.py --problem ldc3d \
+  python examples/iters.py --checkpoint --problem ldc3d \
   --nref-start 1 --nref-end 1 --baseN 4 --k 2 --solver-type almg \
   --discretisation pkp0 --mh uniform --stabilisation-type supg \
   --patch star --smoothing 10 --restriction --re-max 5000
@@ -54,7 +54,7 @@ stage b 14400 $LOGS/ldc3d_p2fb_nref1_re5000.log \
 # A2. SV headline (VERDICT item 3): ldc2d sv k=2 bary macrostar Burman,
 #     Re->10000, nref 1-2 (reference Makefile iters2dsv protocol)
 stage a2 14400 $LOGS/sv_ldc2d_k2_nref12_re10000.log \
-  python examples/iters.py --problem ldc2d \
+  python examples/iters.py --checkpoint --problem ldc2d \
   --nref-start 1 --nref-end 2 --baseN 10 --k 2 --solver-type almg \
   --discretisation sv --mh bary --stabilisation-type burman \
   --patch macro --smoothing 6 --restriction \
@@ -63,7 +63,7 @@ stage a2 14400 $LOGS/sv_ldc2d_k2_nref12_re10000.log \
 # C. 2D robustness + scale row at nref=3 (166k dofs), Re->10000
 #    (VERDICT items 4 + 10)
 stage c 21600 $LOGS/iters_ldc2d_nref3_re10000.log \
-  python examples/iters.py --problem ldc2d \
+  python examples/iters.py --checkpoint --problem ldc2d \
   --nref-start 3 --nref-end 3 --baseN 16 --k 2 --solver-type almg \
   --discretisation pkp0 --mh uniform --stabilisation-type supg \
   --patch star --restriction --re-max 10000
@@ -72,7 +72,7 @@ stage c 21600 $LOGS/iters_ldc2d_nref3_re10000.log \
 #     trend (VERDICT weak 1: show the chip leaving the latency-bound
 #     regime)
 stage c2 14400 $LOGS/iters_ldc2d_nref4_re1000.log \
-  python examples/iters.py --problem ldc2d \
+  python examples/iters.py --checkpoint --problem ldc2d \
   --nref-start 4 --nref-end 4 --baseN 16 --k 2 --solver-type almg \
   --discretisation pkp0 --mh uniform --stabilisation-type supg \
   --patch star --restriction --re-max 1000
@@ -80,7 +80,7 @@ stage c2 14400 $LOGS/iters_ldc2d_nref4_re1000.log \
 # E. bfs2d on the real reference coarse mesh (host-telescoped sparse
 #    coarse above the dense cap — VERDICT item 5 "done" criterion)
 stage e 14400 $LOGS/iters_bfs2d_coarse12_nref1_re1000.log \
-  python examples/iters.py --problem bfs2d \
+  python examples/iters.py --checkpoint --problem bfs2d \
   --mesh tests/fixtures/bfs2d_coarse12.msh --nref-start 1 --nref-end 1 \
   --baseN 0 --k 2 --solver-type almg --discretisation pkp0 \
   --mh uniform --stabilisation-type supg --patch star --smoothing 10 \
@@ -92,7 +92,7 @@ stage r 7200 $LOGS/roofline_patches.log \
 
 # D2. [P1+FB]^3 end-to-end (BubbleTransfer in anger), short sweep
 stage d2 7200 $LOGS/ldc3d_p1fb_nref1_re1000.log \
-  python examples/iters.py --problem ldc3d \
+  python examples/iters.py --checkpoint --problem ldc3d \
   --nref-start 1 --nref-end 1 --baseN 4 --k 1 --solver-type almg \
   --discretisation pkp0 --mh uniform --stabilisation-type supg \
   --stabilisation-weight 0.05 --patch star --smoothing 10 \
