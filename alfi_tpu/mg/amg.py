@@ -70,15 +70,23 @@ def aggregate(adj):
         agg[i] = nagg
         agg[nbrs] = nagg
         nagg += 1
-    # leftovers: join an adjacent aggregate
+    # leftovers: join the smallest adjacent aggregate (keeps aggregate
+    # sizes balanced under the CSR visit order)
+    sizes = np.bincount(agg[agg >= 0], minlength=max(nagg, 1))
+    sizes = list(sizes[:nagg])
     for i in range(ndof):
         if agg[i] >= 0:
             continue
         nbrs = indices[indptr[i]:indptr[i + 1]]
-        owned = agg[nbrs]
+        owned = np.unique(agg[nbrs])
         owned = owned[owned >= 0]
-        agg[i] = owned[0] if len(owned) else nagg
-        if not len(owned):
+        if len(owned):
+            a = int(owned[np.argmin([sizes[j] for j in owned])])
+            agg[i] = a
+            sizes[a] += 1
+        else:
+            agg[i] = nagg
+            sizes.append(1)
             nagg += 1
     return agg, nagg
 
@@ -209,8 +217,14 @@ class VelocityAMG:
 
     # ------------------------------------------------------------------
     def level_apply(self, tensors, ftensors, v):
-        """Masked fine velocity operator (same semantics as
-        VelocityMG.level_apply on the finest level)."""
+        """Masked fine velocity operator (same call shape as
+        VelocityMG.level_apply on the finest level; facet-coupled
+        (Burman) terms are not applied here — the AMG baseline modes
+        never assemble them)."""
+        if ftensors is not None:
+            raise NotImplementedError(
+                "VelocityAMG.level_apply does not support facet-coupled "
+                "(Burman) operators")
         v0 = (self.mask_u * v).reshape(-1)
         vloc = v0[self.rows]
         rloc = jnp.einsum("cij,cj->ci", tensors, vloc)

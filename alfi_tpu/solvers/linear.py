@@ -141,13 +141,7 @@ def woodbury_dense_factor(M, B, gamma, qr_threshold=8192):
     else:
         fac = {"Mlu": jax.scipy.linalg.lu_factor(M32)}
 
-    def msolve(b32):
-        if "Mlu" in fac:
-            return jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
-        return jax.scipy.linalg.solve_triangular(
-            fac["Rm"], fac["Qm"].T @ b32, lower=False)
-
-    Y = msolve(B32)
+    Y = _woodbury_msolve32(fac, B32)
     R = B.shape[1]
     S = B32.T @ Y
     geff = woodbury_effective_gamma(gamma, S)
@@ -159,12 +153,7 @@ def woodbury_dense_factor(M, B, gamma, qr_threshold=8192):
 
 def woodbury_dense_apply(fac, b):
     dt = jnp.float32
-    b32 = b.astype(dt)
-    if "Mlu" in fac:
-        y = jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
-    else:
-        y = jax.scipy.linalg.solve_triangular(
-            fac["Rm"], fac["Qm"].T @ b32, lower=False)
+    y = _woodbury_msolve32(fac, b.astype(dt))
     s = jax.scipy.linalg.lu_solve(fac["Clu"], fac["B32"].T @ y)
     return (y - fac["Y"] @ s).astype(b.dtype)
 
@@ -176,7 +165,7 @@ def woodbury_dense_closure(M, B, gamma):
     return lambda b: woodbury_dense_apply(fac, b)
 
 
-def woodbury_refined_dense_factor(M, B, gamma):
+def woodbury_refined_dense_factor(M, B, gamma, qr_threshold=8192):
     """f64-quality coarse factor of A = M + gamma B B^T without an
     f64-emulated factorisation (the TPU fast path for the MG coarse
     grid, replacing the ~600 ms batched f64 QR per Newton step):
@@ -198,7 +187,7 @@ def woodbury_refined_dense_factor(M, B, gamma):
     # symmetric equilibration of M: unit row/col inf-norms
     d = 1.0 / jnp.sqrt(jnp.max(jnp.abs(M), axis=1) + 1e-300)
     Ms32 = (d[:, None] * M * d[None, :]).astype(dt)
-    if M.shape[0] > 8192:
+    if M.shape[0] > qr_threshold:
         Qm, Rm = jnp.linalg.qr(Ms32)
         fac = {"Qm": Qm, "Rm": Rm}
     else:

@@ -105,7 +105,10 @@ def apply_transposed_pallas(fac, rp):
     if npad != npat:
         rp = jnp.pad(rp, ((0, 0), (0, npad - npat)))
     interpret = jax.default_backend() == "cpu"
-    out = _apply_padded(fac, rp.astype(fac.dtype), interpret)
+    # bf16 factors: the rhs/residual stays f32 (only the stored
+    # inverses are bf16) — same contract as apply_transposed_xla
+    rdt = jnp.float32 if fac.dtype == jnp.bfloat16 else fac.dtype
+    out = _apply_padded(fac, rp.astype(rdt), interpret)
     return out[:, :npat]
 
 

@@ -78,7 +78,8 @@ def patch_fs(request):
     batched_lu._fs.update(saved)
 
 
-@pytest.mark.parametrize("variant", ["f32", "f32t", "f32p", "bf16t"])
+@pytest.mark.parametrize("variant",
+                         ["f32", "f32t", "f32p", "bf16t", "bf16p"])
 def test_patch_solver_end_to_end(patch_fs, variant):
     """build_patch_solver through a real star patchset: the transposed
     gather/apply/scatter pipeline must reproduce the batch-major f64
@@ -103,8 +104,8 @@ def test_patch_solver_end_to_end(patch_fs, variant):
 
     dt = jnp.bfloat16 if variant.startswith("bf16") else jnp.float32
     patch_fs(_ExplicitInverseFactorization(
-        dt, transposed=variant in ("f32t", "f32p", "bf16t"),
-        use_pallas=variant == "f32p"))
+        dt, transposed=variant != "f32",
+        use_pallas=variant in ("f32p", "bf16p")))
     f1, a1 = build_patch_solver(ps)
     x1 = np.asarray(a1(f1(T), r))
     rel = np.linalg.norm(x1 - x0) / np.linalg.norm(x0)
