@@ -113,12 +113,12 @@ class VelocityMG:
             self.levels.append(MGLevel(V, form, mask_u, rows))
             spaces.append(V)
 
-        import os as _oslvl
+        import os
 
         #: cell-minor element-tensor layout for the level matvecs
         #: (see MGLevel.ensure_transposed)
         self.transposed_apply = (
-            _oslvl.environ.get("ALFI_TPU_LEVEL_APPLY") == "t")
+            os.environ.get("ALFI_TPU_LEVEL_APPLY") == "t")
         if self.transposed_apply:
             for lev in self.levels:
                 lev.ensure_transposed()
@@ -194,11 +194,9 @@ class VelocityMG:
         # dense-memory cap, then the telescoped host sparse LU (the
         # SuperLU_dist analogue — solvers/host_coarse.py) so reference
         # bfs coarse meshes work as hierarchy bases
-        import os as _os
-
         lev0 = self.levels[0]
         N0d = lev0.V.ndof * d
-        cap = int(_os.environ.get("ALFI_TPU_DENSE_COARSE_MAX", "13000"))
+        cap = int(os.environ.get("ALFI_TPU_DENSE_COARSE_MAX", "13000"))
         self._host_coarse = None
         if N0d > cap:
             from ..solvers.host_coarse import HostSparseCoarse
@@ -229,7 +227,7 @@ class VelocityMG:
                 impls[l] = make_stabilisation(
                     self.levels[l].form, solver.stabilisation_type,
                     solver.supg_method, solver.supg_magic,
-                    solver.stabilisation_weight, None,
+                    solver.stabilisation_weight,
                     char_LU=solver.char_L * solver.char_U)
             self.stab = impls
             # P0 pressure injection: coarse cell = mean of children
@@ -244,12 +242,10 @@ class VelocityMG:
         # the dS jump term into PCMG/PCPatch; ALFI_TPU_BURMAN_PC=0
         # disables for the ablation)
         # ------------------------------------------------------------
-        import os as _os2
-
         self.stab_facet = None
         if (st is not None and st.has_facet_tensors
                 and not self.use_woodbury and self.smoother == "patch"
-                and _os2.environ.get("ALFI_TPU_BURMAN_PC", "1") == "1"):
+                and os.environ.get("ALFI_TPU_BURMAN_PC", "1") == "1"):
             from ..stabilisation import BurmanStabilisation
             from ..utils.scatter import default_use_tables, \
                 make_gather_sum
@@ -290,6 +286,12 @@ class VelocityMG:
             if self._host_coarse is not None:
                 self._host_coarse.set_facets(
                     np.asarray(self.facet_rows[0]))
+            # setup()'s facet branch factors patches directly from
+            # assemble_patch_matrices + contract_patch_facet_tensors and
+            # never reads static["levels"]; drop the static K/G patch
+            # contractions so static_state() doesn't materialise unused
+            # (np, m, m) arrays per level
+            self.factor_parts = [None] * len(self.factor_parts)
 
     # ------------------------------------------------------------------
     # per-level masked operator from element tensors

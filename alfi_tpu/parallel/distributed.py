@@ -1308,16 +1308,25 @@ class DistributedSolver:
                           dtype=real_dtype), sh)
         return self._wind0
 
+    def _default_wind(self):
+        """Frozen-wind default matching the global solver's convention
+        (params['wind'] = z_last velocity): with stabilisation active a
+        zero wind would silently change the discrete operator (or, for
+        Turek SUPG, blow up beta), so derive it from solver.z_last."""
+        if self.stab is not None:
+            return self._shard_u(self.solver.z_last[0])
+        return self._zero_wind()
+
     def residual(self, z, params, wind=None):
         """(F, fnorm) with F local-sharded and fnorm replicated."""
         if wind is None:
-            wind = self._zero_wind()
+            wind = self._default_wind()
         F, fnorm = self._res_sm(self.loc, z, params, wind)
         return F, float(np.asarray(fnorm)[0])
 
     def linear_step(self, z, F, params, tstate, wind=None):
         if wind is None:
-            wind = self._zero_wind()
+            wind = self._default_wind()
         dz, its = self._lin_sm(self.loc, z, F, params, tstate, wind)
         return dz, int(np.asarray(its)[0])
 
@@ -1326,6 +1335,8 @@ class DistributedSolver:
         of the flagship solver, entirely distributed."""
         if tstate is None:
             tstate = self.transfer_setup(params)
+        if wind is None:
+            wind = self._default_wind()
         F, _ = self.residual(z, params, wind)
         dz, its = self.linear_step(z, F, params, tstate, wind)
         z = jax.tree.map(jnp.add, z, dz)

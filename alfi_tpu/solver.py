@@ -194,7 +194,7 @@ class NavierStokesSolver:
 
         self.stabilisation = make_stabilisation(
             self.form, self.stabilisation_type, self.supg_method,
-            self.supg_magic, self.stabilisation_weight, self.bcset,
+            self.supg_magic, self.stabilisation_weight,
             char_LU=self.char_L * self.char_U)
         self.form.stabilisation = self.stabilisation.residual_hook
 

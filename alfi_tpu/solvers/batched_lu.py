@@ -284,6 +284,13 @@ def get_factorization(kind="dense"):
             #       acceptance gate
             #   t     — f64 patch-minor (layout effect in isolation)
             app = os.environ.get("ALFI_TPU_PATCH_APPLY", "")
+            if app not in ("", "f32", "f32t", "f32p", "bf16t",
+                           "bf16p", "t"):
+                # a typo (e.g. bare "bf16") would silently pick a mode
+                # that truncates the residual — refuse instead
+                raise ValueError(
+                    "ALFI_TPU_PATCH_APPLY=%r: expected one of "
+                    "'', f32, f32t, f32p, bf16t, bf16p, t" % app)
             dt = (jnp.float32 if app.startswith("f32")
                   else jnp.bfloat16 if app.startswith("bf16") else None)
             _fs[kind] = _ExplicitInverseFactorization(

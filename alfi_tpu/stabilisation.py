@@ -456,9 +456,8 @@ class BurmanStabilisation:
 class StabilisationWrapper:
     """Adapts a stabilisation to the NSForm hook + solver lifecycle."""
 
-    def __init__(self, impl, bcset):
+    def __init__(self, impl):
         self.impl = impl
-        self.bcset = bcset
 
     def residual_hook(self, z, params):
         advect = params["advect"]
@@ -490,7 +489,7 @@ class StabilisationWrapper:
         pass
 
 
-def make_stabilisation(form, kind, supg_method, supg_magic, weight, bcset,
+def make_stabilisation(form, kind, supg_method, supg_magic, weight,
                        char_LU=1.0):
     if kind in ("supg", "gls"):
         if supg_method == "shakib":
@@ -504,4 +503,4 @@ def make_stabilisation(form, kind, supg_method, supg_magic, weight, bcset,
         impl = BurmanStabilisation(form, weight=weight)
     else:
         raise ValueError(kind)
-    return StabilisationWrapper(impl, bcset)
+    return StabilisationWrapper(impl)
