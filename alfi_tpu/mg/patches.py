@@ -207,7 +207,6 @@ class PatchSet:
         self.nflat = ndft
         self.m = m
         self.npatches = npat
-        BIG = np.int64(np.iinfo(np.int64).max)
 
         # cell-local flat dofs -> patch-local indices
         nc = space.mesh.num_cells
@@ -408,18 +407,25 @@ def patch_facet_tables(patchset, facets, space):
     vals = np.repeat(np.arange(nif, dtype=np.int64), 2)
     starts, fv = _csr_from_pairs(keys, vals, nc)
     npat, mc = patchset.cells.shape
-    rows = []
-    for p in range(npat):
-        cells_p = patchset.cells[p]
-        cells_p = cells_p[cells_p < nc]
-        fs = np.unique(np.concatenate(
-            [fv[starts[c]:starts[c + 1]] for c in cells_p]
-        )) if len(cells_p) else np.zeros(0, dtype=np.int64)
-        rows.append(fs)
-    mfp = max((len(r) for r in rows), default=0)
-    pfacets = np.full((npat, max(mfp, 1)), nif, dtype=np.int64)
-    for p, r in enumerate(rows):
-        pfacets[p, : len(r)] = r
+    # vectorised (patch, facet) pair enumeration — the per-patch
+    # unique/concatenate loop took minutes of setup on fine levels
+    cp = np.asarray(patchset.cells).astype(np.int64).ravel()
+    valid = (cp >= 0) & (cp < nc)
+    cpv = np.where(valid, cp, 0)
+    cnt = np.where(valid, starts[cpv + 1] - starts[cpv], 0)
+    total = int(cnt.sum())
+    base = np.repeat(starts[cpv], cnt)
+    csum = np.cumsum(cnt) - cnt
+    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, cnt)
+    fids = fv[base + offs]
+    pids = np.repeat(np.repeat(np.arange(npat, dtype=np.int64), mc),
+                     cnt)
+    key = np.unique(pids * np.int64(nif + 1) + fids)
+    pstarts, pvals = _csr_from_pairs(key // (nif + 1), key % (nif + 1),
+                                     npat)
+    pfacets, _ = _pad_csr(pstarts, pvals, nif)
+    if pfacets.shape[1] == 0:
+        pfacets = np.full((npat, 1), nif, dtype=np.int64)
     # facet union flat dofs (nif+1, 2*nld); the pad value must MISS in
     # the patch dof rows — nflat itself is the patch-row pad and would
     # false-match, mapping facet pads onto inactive patch slots

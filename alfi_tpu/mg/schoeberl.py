@@ -68,7 +68,7 @@ class SchoeberlTransfer:
         # gamma-robustness is most sensitive to (empirically the f32
         # Woodbury transfer stalls the outer FGMRES at Re>=100 even
         # though its isolated outputs agree to ~0.4%).
-        nch_total, groups = self._patch_cell_groups(hierarchy, l)
+        _, groups = self._patch_cell_groups(hierarchy, l)
         ps = cell_patches(V, zmask.reshape(-1), groups)
         self.patchset = ps
         self.factor, self.papply = build_patch_solver(ps)

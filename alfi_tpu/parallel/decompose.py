@@ -33,16 +33,22 @@ import numpy as np
 # mesh partition helpers
 # ----------------------------------------------------------------------
 def vertex_cells_csr(mesh):
-    """CSR vertex -> containing cells."""
+    """CSR vertex -> containing cells (cached on the mesh: callers like
+    expand_halo run once per block per level, and the argsort over all
+    cells dominated decomposition setup)."""
+    cached = getattr(mesh, "_vcells_csr", None)
+    if cached is not None:
+        return cached
+    from ..mg.patches import _csr_from_pairs
+
     cells = mesh.cells
     nv = mesh.num_vertices
     ck = cells.ravel().astype(np.int64)
     cv = np.repeat(np.arange(mesh.num_cells, dtype=np.int64),
                    cells.shape[1])
-    order = np.argsort(ck, kind="stable")
-    ck, cv = ck[order], cv[order]
-    starts = np.searchsorted(ck, np.arange(nv + 1))
-    return starts, cv
+    starts, cv = _csr_from_pairs(ck, cv, nv)
+    mesh._vcells_csr = (starts, cv)
+    return mesh._vcells_csr
 
 
 def expand_halo(mesh, cellmask, layers=1):

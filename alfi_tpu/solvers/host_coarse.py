@@ -46,12 +46,7 @@ class HostSparseCoarse:
         self._scale = m[r] * m[c]
         self._diag = 1.0 - m
         self._fr = self._fc = self._fscale = None
-        self._fw = None
         self._cache = (None, None)
-        # fingerprint weights: fixed pseudo-random projection so any
-        # tensor change flips the key
-        rng = np.random.default_rng(0)
-        self._w = rng.standard_normal(nc * nld * nld)
 
     def set_facets(self, facet_rows):
         """Enable interior-facet coupled contributions (Burman
@@ -61,8 +56,6 @@ class HostSparseCoarse:
         self._fr = np.repeat(fr[:, :, None], m2, axis=2).reshape(-1)
         self._fc = np.repeat(fr[:, None, :], m2, axis=1).reshape(-1)
         self._fscale = self._m[self._fr] * self._m[self._fc]
-        rng = np.random.default_rng(1)
-        self._fw = rng.standard_normal(nif * m2 * m2)
 
     # ---------------- host side ----------------
     def _factor(self, Tvals, Jvals=None):
@@ -83,14 +76,20 @@ class HostSparseCoarse:
             A = A + diags(self._diag)
         return splu(A.tocsc())
 
-    def _callback(self, Tvals, fp, b, Jvals=None):
-        key = float(fp)
+    def _callback(self, Tvals, b, Jvals=None):
+        # fingerprint on the HOST from the raw tensor bytes (exact):
+        # computing a weighted projection on device would embed an
+        # nc*nld*nld weight array as a constant in every jitted caller
+        Tv = np.asarray(Tvals)
+        Jv = None if Jvals is None else np.asarray(Jvals)
+        key = hash(Tv.tobytes())
+        if Jv is not None:
+            key ^= hash(Jv.tobytes())
         ck, fac = self._cache
         if ck != key or fac is None:
             fac = self._factor(
-                np.asarray(Tvals, dtype=np.float64),
-                None if Jvals is None
-                else np.asarray(Jvals, dtype=np.float64))
+                Tv.astype(np.float64),
+                None if Jv is None else Jv.astype(np.float64))
             self._cache = (key, fac)
         out = fac.solve(np.asarray(b, dtype=np.float64))
         return out.astype(b.dtype)
@@ -100,15 +99,10 @@ class HostSparseCoarse:
         """A(T[, Jf])^{-1} b via host callback; T (nc, nld, nld) cell
         tensors, Jf (nif, 2nld, 2nld) facet tensors, b (N,)."""
         import jax
-        import jax.numpy as jnp
 
-        fp = jnp.dot(T.reshape(-1), jnp.asarray(self._w, dtype=T.dtype))
         out = jax.ShapeDtypeStruct(b.shape, b.dtype)
         if Jf is None:
-            return jax.pure_callback(self._callback, out, T, fp, b,
+            return jax.pure_callback(self._callback, out, T, b,
                                      vmap_method="sequential")
-        fp = fp + jnp.dot(Jf.reshape(-1),
-                          jnp.asarray(self._fw, dtype=Jf.dtype))
-        return jax.pure_callback(
-            lambda Tv, ff, bb, Jv: self._callback(Tv, ff, bb, Jv),
-            out, T, fp, b, Jf, vmap_method="sequential")
+        return jax.pure_callback(self._callback, out, T, b, Jf,
+                                 vmap_method="sequential")
