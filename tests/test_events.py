@@ -1,0 +1,41 @@
+"""Event-timing report parity (reference: alfi/driver.py:77-92 prints a
+21-event PETSc log; our analogue is the solve-loop timers plus
+``NavierStokesSolver.micro_events`` re-timing each sub-operation at the
+current state).  The gate: a real almg solve must yield a report with at
+least 10 distinct positive-time events, including the hot-loop names the
+reference sorts to the top."""
+
+import jax.numpy as jnp
+
+from alfi_tpu import ConstantPressureSolver
+from alfi_tpu.driver import performance_info
+from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+from alfi_tpu.utils import events
+
+
+def test_event_report_has_hot_loop_rows(capsys):
+    events.reset()
+    problem = TwoDimLidDrivenCavityProblem(4)
+    solver = ConstantPressureSolver(
+        problem, nref=1, k=2, solver_type="almg", hierarchy="uniform",
+        gamma=1e4, verbose=False)
+    for re in [1, 10]:
+        z, info = solver.solve(re)
+        assert info["converged"]
+
+    performance_info(solver)
+    out = capsys.readouterr().out
+
+    rows = {name: v for name, v in events.EVENTS.items()
+            if v["time"] > 0.0 and v["count"] > 0}
+    assert len(rows) >= 10, sorted(rows)
+    for name in ["SNESSolve", "KSPSolve", "SNESFunctionEval",
+                 "PCPATCHSolve", "PCApply", "PCSetUp", "MatMult",
+                 "MatSolve", "DGMassInv", "inject"]:
+        assert name in rows, (name, sorted(rows))
+        assert name in out
+    # transfers ride the Schoeberl path in the default almg configuration
+    assert "SchoeberlProlong" in rows or "prolong" in rows
+    # scaled by invocation counts: the patch smoother must dominate the
+    # one-shot setup rows the way the reference's log does
+    assert rows["PCPATCHSolve"]["count"] > rows["PCSetUp"]["count"]
