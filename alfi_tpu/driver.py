@@ -56,13 +56,18 @@ def get_default_parser():
     parser.add_argument("--high-accuracy", dest="high_accuracy",
                         default=False, action="store_true")
     parser.add_argument("--smoothing", type=int, default=None)
+    # the reference gets multi-rank execution from the launcher
+    # (mpirun -n N, /root/reference/examples/Makefile:1); the TPU
+    # analogue is an explicit device count: shard the mesh-decomposed
+    # solver over N chips of this host's jax.devices()
+    parser.add_argument("--ndevices", type=int, default=1)
     return parser
 
 
 def get_solver(args, problem, hierarchy_callback=None):
     solver_t = {"pkp0": ConstantPressureSolver,
                 "sv": ScottVogeliusSolver}[args.discretisation]
-    return solver_t(
+    solver = solver_t(
         problem,
         solver_type=args.solver_type,
         stabilisation_type=args.stabilisation_type,
@@ -82,6 +87,13 @@ def get_solver(args, problem, hierarchy_callback=None):
         high_accuracy=args.high_accuracy,
         hierarchy_callback=hierarchy_callback,
     )
+    if getattr(args, "ndevices", 1) > 1:
+        from .parallel import make_device_mesh
+        from .parallel.distributed import DistributedSolver
+
+        mesh = make_device_mesh(args.ndevices)
+        return DistributedSolver(solver, mesh)
+    return solver
 
 
 def performance_info(solver):
@@ -141,10 +153,14 @@ def run_solver(solver, res, args):
             os.makedirs(outdir, exist_ok=True)
             from .utils.vtk import write_velocity_vtu, write_vtu
 
-            write_vtu(outdir + "velocity-Re-%s.vtu" % re, solver.mesh,
-                      solver.Z, solver.z)
-            if getattr(solver, "nref_vis", 0):
-                uvis, vmesh, _ = solver.visprolong(solver.z[0])
+            # IO runs on the gathered global state (rank-0 analogue);
+            # for a DistributedSolver that state lives on the inner
+            # solver (whose .mesh is the FE mesh, not the device mesh)
+            base = getattr(solver, "solver", solver)
+            write_vtu(outdir + "velocity-Re-%s.vtu" % re, base.mesh,
+                      base.Z, base.z)
+            if getattr(base, "nref_vis", 0):
+                uvis, vmesh, _ = base.visprolong(base.z[0])
                 write_velocity_vtu(
                     outdir + "velocity-refined-Re-%s.vtu" % re, vmesh,
                     uvis)

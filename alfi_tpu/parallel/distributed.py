@@ -31,6 +31,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import real_dtype
+from ..solver import GREEN
 from ..solvers.krylov import ShardDotContext, fgmres
 from ..solvers.batched_lu import get_factorization
 from .decompose import (
@@ -1342,11 +1343,34 @@ class DistributedSolver:
         z = jax.tree.map(jnp.add, z, dz)
         return z, its
 
+    # ---------------- drop-in solver surface ----------------
+    # run_solver / the harnesses drive a DistributedSolver exactly like
+    # a NavierStokesSolver (the reference gets this for free from
+    # mpirun: same script, N ranks — /root/reference/examples/Makefile:1)
+    @property
+    def Z(self):
+        return self.solver.Z
+
+    @property
+    def z(self):
+        return self.solver.z
+
+    @z.setter
+    def z(self, val):
+        self.solver.z = val
+
+    def message(self, msg):
+        self.solver.message(msg)
+
     def solve(self, re):
         """Reynolds-continuation solve on the distributed state, mirroring
         NavierStokesSolver.solve (host Newton loop, device steps)."""
+        import time as _time
+
         solver = self.solver
         solver.z_last = solver.z
+        solver.message(GREEN % ("Solving for Re = %s" % re))
+        t_start = _time.perf_counter()
         if re == 0:
             solver.advect_val = 0.0
             solver.nu_val = solver.char_L * solver.char_U
@@ -1389,10 +1413,18 @@ class DistributedSolver:
             if not converged:
                 reason = "max_it"
         solver.z = self.gather_state(z)
+        elapsed = _time.perf_counter() - t_start
+        solver.message(GREEN % (
+            "Nonlinear solve %s in %d iterations (%s)" % (
+                "converged" if converged else "DIVERGED", nit, reason)))
+        solver.message(GREEN % (
+            "Time taken: %.2f min in %d iterations "
+            "(%.2f Krylov iters per Newton step)"
+            % (elapsed / 60.0, total_lin, total_lin / max(1, nit))))
         info = {
             "Re": re, "nu": solver.nu_val, "linear_iter": total_lin,
             "nonlinear_iter": nit, "converged": bool(converged),
-            "reason": reason,
+            "reason": reason, "time": elapsed / 60.0,
         }
         return solver.z, info
 

@@ -78,3 +78,34 @@ def test_ldc2d_main_with_checkpoint_and_paraview(tmp_path, monkeypatch):
 
     assert glob.glob("output/*/velocity-Re-*.vtu")
     assert glob.glob("output/*/velocity-refined-Re-*.vtu")
+
+
+def test_ndevices_flag_runs_distributed(tmp_path, monkeypatch):
+    """--ndevices N is the mpirun -n N analogue: get_solver wraps the
+    solver in a DistributedSolver over an N-device mesh and run_solver
+    drives it unchanged (same counts as the single-device solve)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    from alfi_tpu import get_default_parser, get_solver, run_solver
+    from alfi_tpu.parallel.distributed import DistributedSolver
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    parser = get_default_parser()
+    argv = ["--discretisation", "pkp0", "--baseN", "4", "--nref", "1",
+            "--k", "2", "--solver-type", "almg", "--mh", "uniform",
+            "--stabilisation-type", "supg"]
+    args, _ = parser.parse_known_args(argv + ["--ndevices", "8"])
+    problem = TwoDimLidDrivenCavityProblem(args.baseN)
+    dist = get_solver(args, problem)
+    assert isinstance(dist, DistributedSolver)
+    results = run_solver(dist, [1, 10], args)
+    assert all(r["converged"] for r in results.values())
+    assert all(r["time"] > 0 for r in results.values())
+
+    args1, _ = parser.parse_known_args(argv)
+    ref = get_solver(args1, TwoDimLidDrivenCavityProblem(args1.baseN))
+    results1 = run_solver(ref, [1, 10], args1)
+    for re in (1, 10):
+        assert results[re]["linear_iter"] == results1[re]["linear_iter"]
+        assert (results[re]["nonlinear_iter"]
+                == results1[re]["nonlinear_iter"])
