@@ -78,6 +78,92 @@ class BubbleTransfer:
         fb = self._scale(fb)
         return self._combine_f(self.p1.apply(p1), self.fb.apply(fb))
 
+    # -- flattened matrix-weighted gather table ------------------------
+    def as_table(self):
+        """Flatten the composed transfer (split -> scale -> prolong ->
+        combine) into ONE matrix-weighted gather table,
+
+            uf[i] = sum_n W[i, n] @ uc[idx[i, n]],
+
+        the form the distributed solver's ``split_transfer`` block
+        localisation understands (scalar-weight nodal transfers are the
+        W = w*I special case).  Component mixing appears only through
+        the per-coarse-facet flux fix ``I + FLUX*n n^T``, so W is a
+        dense 3x3 block per (fine dof, coarse dof) pair.
+
+        Returns ``(idx (nf, ns) int64, W (nf, ns, 3, 3) float64)``;
+        pad entries repeat the row's first real source dof with zero W
+        (so block localisation resolves them wherever the row itself
+        resolves).
+        """
+        import scipy.sparse as sp
+
+        d = 3
+        nvc, nvf = self.nvc, self.nvf
+        fvc, fvf = np.asarray(self.fvc), np.asarray(self.fvf)
+        nfc, nff = fvc.shape[0], fvf.shape[0]
+        nc, nf = nvc + nfc, nvf + nff
+
+        def pet_mat(tr, nrow, ncol):
+            idx = np.asarray(tr.idx, np.int64)
+            w = np.asarray(tr.w, np.float64)
+            rows = np.repeat(np.arange(nrow), idx.shape[1])
+            m = sp.coo_matrix((w.ravel(), (rows, idx.ravel())),
+                              shape=(nrow, ncol)).tocsr()
+            m.eliminate_zeros()
+            return m
+
+        P1 = pet_mat(self.p1, nvf, nvc)   # fine P1  <- coarse P1
+        FB = pet_mat(self.fb, nff, nfc)   # fine FB  <- coarse FB
+        I3 = sp.identity(d, format="csr")
+
+        # split: hierarchical parts of the coarse nodal field
+        S_p1 = sp.hstack([sp.identity(nvc),
+                          sp.csr_matrix((nvc, nfc))]).tocsr()
+        r3 = np.repeat(np.arange(nfc), 3)
+        S_fb = (sp.hstack([sp.csr_matrix((nfc, nvc)), sp.identity(nfc)])
+                + sp.coo_matrix(
+                    (np.full(3 * nfc, -1.0 / 3.0), (r3, fvc.ravel())),
+                    shape=(nfc, nc))).tocsr()
+
+        # scale: per-coarse-facet I + FLUX*n n^T (the 0.625 flux fix)
+        nrm = np.asarray(self.nc_, np.float64)
+        blocks = (np.eye(d)[None]
+                  + FLUX_FACTOR * nrm[:, :, None] * nrm[:, None, :])
+        Sc = sp.bsr_matrix(
+            (blocks, np.arange(nfc), np.arange(nfc + 1)),
+            shape=(nfc * d, nfc * d)).tocsr()
+
+        # combine: fine nodal field from hierarchical fine parts
+        C_v = sp.hstack([sp.identity(nvf), sp.csr_matrix((nvf, nff))])
+        r3f = np.repeat(np.arange(nff), 3)
+        C_f = sp.hstack([
+            sp.coo_matrix((np.full(3 * nff, 1.0 / 3.0),
+                           (r3f, fvf.ravel())), shape=(nff, nvf)),
+            sp.identity(nff)])
+        C = sp.vstack([C_v, C_f]).tocsr()
+
+        # dof-major flattening (dof*d + component): kron(A, I3)
+        M = (sp.kron(C, I3)
+             @ sp.block_diag([sp.kron(P1, I3),
+                              sp.kron(FB, I3) @ Sc])
+             @ sp.kron(sp.vstack([S_p1, S_fb]), I3)).tocsr()
+        M.eliminate_zeros()
+
+        B = sp.bsr_matrix(M, blocksize=(d, d))
+        counts = np.diff(B.indptr)
+        ns = int(max(1, counts.max()))
+        first = np.zeros(nf, dtype=np.int64)
+        nz = counts > 0
+        first[nz] = B.indices[B.indptr[:-1][nz]]
+        idx = np.repeat(first[:, None], ns, axis=1)
+        W = np.zeros((nf, ns, d, d))
+        pos = np.arange(len(B.indices)) - np.repeat(B.indptr[:-1], counts)
+        rowid = np.repeat(np.arange(nf), counts)
+        idx[rowid, pos] = B.indices
+        W[rowid, pos] = B.data
+        return idx, W
+
     # -- exact adjoint ---------------------------------------------------
     def apply_transpose(self, rf):
         # combine^T

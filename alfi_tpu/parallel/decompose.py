@@ -334,7 +334,9 @@ def split_transfer(idx_g, w_g, src_lev: LevelDecomp, tgt_lev: LevelDecomp,
                    must_resolve):
     """Localize a PointEvalTransfer (target dof <- weighted source dofs).
 
-    idx_g (ndof_t, ns) global SOURCE scalar dofs, w_g same shape.
+    idx_g (ndof_t, ns) global SOURCE scalar dofs; w_g (ndof_t, ns) for
+    scalar weights or (ndof_t, ns, d, d) for matrix weights (the
+    BubbleTransfer flux fix mixes vector components per source dof).
     Rows are built for every local TARGET dof of every block; rows whose
     source dofs are not all present locally become dead (zero weights) —
     allowed only outside ``must_resolve[b]`` (asserted).
@@ -345,7 +347,7 @@ def split_transfer(idx_g, w_g, src_lev: LevelDecomp, tgt_lev: LevelDecomp,
     ns = idx_g.shape[1]
     Ls = src_lev.L
     idx_loc = np.full((nb, Lt, ns), Ls, dtype=np.int64)
-    w_loc = np.zeros((nb, Lt, ns), dtype=w_g.dtype)
+    w_loc = np.zeros((nb, Lt, ns) + w_g.shape[2:], dtype=w_g.dtype)
     for b in range(nb):
         gt = tgt_lev.gdofs[b]
         validt = gt >= 0

@@ -425,12 +425,15 @@ class DistributedSolver:
             levc, levf = self.levs[l], self.levs[l + 1]
             need_f = levf.near_owned_dofs(mh[l + 1], layers=1)
             tr = vmg.prolongs[l]
-            if not hasattr(tr, "idx"):
-                raise NotImplementedError(
-                    "distributed bubble transfer not implemented yet")
-            idx, w = split_transfer(
-                np.asarray(tr.idx, dtype=np.int64), np.asarray(tr.w),
-                levc, levf, need_f)
+            if hasattr(tr, "idx"):
+                idx_g, w_g = (np.asarray(tr.idx, dtype=np.int64),
+                              np.asarray(tr.w))
+            else:
+                # BubbleTransfer ([P1+FB]^3 flux fix): flatten the
+                # composed map to a matrix-weighted gather table — the
+                # component mixing rides W (ns, 3, 3) per source dof
+                idx_g, w_g = tr.as_table()
+            idx, w = split_transfer(idx_g, w_g, levc, levf, need_f)
             loc["pro"].append(dict(idx=_j(idx, _I32),
                                    w=_j(w, real_dtype)))
             need_c = levc.near_owned_dofs(mh[l], layers=1)
@@ -789,13 +792,19 @@ class DistributedSolver:
     # ---------------- transfers ----------------
     def _prolong_std(self, pair, uc):
         vals = uc[pair["idx"]]  # (Lf, nlc, d)
-        uf = jnp.einsum("ln,lnd->ld", pair["w"], vals)
+        if pair["w"].ndim == 4:  # matrix weights (bubble flux fix)
+            uf = jnp.einsum("lnab,lnb->la", pair["w"], vals)
+        else:
+            uf = jnp.einsum("ln,lnd->ld", pair["w"], vals)
         return jnp.concatenate(
             [uf, jnp.zeros((1, uf.shape[1]), dtype=uf.dtype)], axis=0)
 
     def _prolong_std_T(self, pair, lvc, ownerw_f, rf):
         rw = (rf * ownerw_f)[:-1]  # owned fine rows only
-        contrib = pair["w"][:, :, None] * rw[:, None, :]
+        if pair["w"].ndim == 4:  # exact adjoint of the matrix weights
+            contrib = jnp.einsum("lnab,la->lnb", pair["w"], rw)
+        else:
+            contrib = pair["w"][:, :, None] * rw[:, None, :]
         Lc1 = lvc["mask"].shape[0]
         out = jnp.zeros((Lc1, rf.shape[1]), dtype=rf.dtype)
         out = out.at[pair["idx"]].add(contrib)

@@ -98,3 +98,25 @@ def test_supg_high_re_krylov_flatness():
         assert info["converged"], re
         kpn[re] = info["linear_iter"] / max(1, info["nonlinear_iter"])
     assert kpn[1000] <= 15.0, kpn
+
+
+@pytest.mark.slow
+def test_sv_burman_high_re_krylov_flatness():
+    """SV analogue of the gate above (reference Makefile target
+    iters2dsv): Scott-Vogelius k=2 on bary with macrostar patches and
+    Burman stabilisation riding the MG/patch operators.  The measured
+    headline table (results/README.md) has kpn 6.67 at Re=1000 at
+    baseN=10; before the Burman facet coupling entered the
+    preconditioner this protocol was at kpn 20.7 by Re=900 and climbing
+    (results/logs/sv_validate_re1000.log)."""
+    s = ScottVogeliusSolver(
+        TwoDimLidDrivenCavityProblem(6), nref=1, k=2,
+        solver_type="almg", hierarchy="bary", patch="macro",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        restriction=True, gamma=1e4, verbose=False)
+    kpn = {}
+    for re in [1, 10, 100, 300, 500, 1000]:
+        _, info = s.solve(re)
+        assert info["converged"], re
+        kpn[re] = info["linear_iter"] / max(1, info["nonlinear_iter"])
+    assert kpn[1000] <= 15.0, kpn

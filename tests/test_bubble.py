@@ -65,3 +65,24 @@ def test_bubble_normal_flux_scaled():
     # 1.6x the plain interpolation of this normal bubble
     ratio = (np.linalg.norm(fixed) / np.linalg.norm(plain))
     assert abs(ratio - 1.6) < 1e-10
+
+
+def test_as_table_matches_apply():
+    """The flattened matrix-weighted gather table (the distributed
+    solver's representation) reproduces apply/apply_transpose exactly."""
+    mh, Vc, Vf = setup()
+    T = BubbleTransfer(mh, 0)
+    idx, W = T.as_table()
+    assert idx.shape[0] == Vf.ndof and W.shape[-2:] == (3, 3)
+    rng = np.random.default_rng(1)
+    uc = rng.normal(size=(Vc.ndof, 3))
+    ucp = np.concatenate([uc, np.zeros((1, 3))], axis=0)  # dump row
+    uf_tab = np.einsum("lnab,lnb->la", W, ucp[idx])
+    uf = np.asarray(T.apply(jnp.asarray(uc)))
+    assert np.max(np.abs(uf_tab - uf)) < 1e-12
+
+    rf = rng.normal(size=(Vf.ndof, 3))
+    rc_tab = np.zeros((Vc.ndof + 1, 3))
+    np.add.at(rc_tab, idx, np.einsum("lnab,la->lnb", W, rf))
+    rc = np.asarray(T.apply_transpose(jnp.asarray(rf)))
+    assert np.max(np.abs(rc_tab[:-1] - rc)) < 1e-12

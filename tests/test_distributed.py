@@ -282,3 +282,38 @@ def test_load_balance_report(capsys):
         # partition is balanced (generous bound: coarse blocks on a
         # small mesh)
         assert c.max() <= 3 * max(1, c.min()), (name, c)
+
+
+def test_distributed_p1fb_bubble_matches_global():
+    """[P1+FB]^3 distributed (the reference's LARGEST production config,
+    p1fb_ldc3d at 12,288 ranks): the BubbleTransfer flux fix rides the
+    block-local transfers as a matrix-weighted gather table
+    (BubbleTransfer.as_table + split_transfer), exact vs the global
+    solver."""
+    from alfi_tpu.problems import ThreeDimLidDrivenCavityProblem
+
+    problem = ThreeDimLidDrivenCavityProblem(2)
+    solver = ConstantPressureSolver(
+        problem, nref=1, k=1, solver_type="almg", hierarchy="uniform",
+        gamma=1e4, verbose=False)
+    assert solver.Z.V.element.name == "P1FB"
+    assert not hasattr(solver.vmg.prolongs[0], "idx")  # bubble transfer
+    solver.advect_val = 1.0
+    solver.nu_val = solver.char_L * solver.char_U / 10.0
+
+    params = solver.params()
+    mesh = make_device_mesh(8)
+    dist = DistributedSolver(solver, mesh)
+    z, _ = dist.shard_state(solver.z, params)
+    Fd, _ = dist.residual(z, params)
+    Fg = solver.residual_masked(solver.z, params)
+    Fd_g = dist.gather_state(Fd)
+    assert rel(Fd_g[0], Fg[0]) < 5e-13
+    tstate_g = solver._transfer_setup(params)
+    dz_g, its_g = solver._linear_step(solver.z, Fg, params, tstate_g)
+    dz_d, its_d = dist.linear_step(z, Fd, params,
+                                   dist.transfer_setup(params))
+    assert its_d == int(its_g)
+    dz_dg = dist.gather_state(dz_d)
+    assert rel(dz_dg[0], dz_g[0]) < 1e-9
+    assert rel(dz_dg[1], dz_g[1]) < 1e-9
