@@ -136,19 +136,27 @@ def run_solver(solver, res, args):
                 import jax.numpy as jnp
 
                 solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
-            # restored from checkpoint: record a placeholder info dict so
-            # downstream table extraction (examples/iters.py) never
-            # KeyErrors on resumed runs
-            results[re] = {
-                "Re": re, "nu": None, "linear_iter": 0,
-                "nonlinear_iter": 0, "time": 0.0, "converged": True,
-                "checkpointed": True,
-            }
+                # checkpoints carry the solve's info dict so resumed
+                # sweeps reproduce the TRUE iteration/time tables; old
+                # solution-only checkpoints fall back to placeholders
+                # (which downstream table extraction tolerates)
+                if "linear_iter" in chk.files:
+                    info = {k: chk[k].item() for k in
+                            ("nu", "linear_iter", "nonlinear_iter",
+                             "time", "converged") if k in chk.files}
+                else:
+                    info = {"nu": None, "linear_iter": 0,
+                            "nonlinear_iter": 0, "time": 0.0,
+                            "converged": True}
+            results[re] = dict(info, Re=re, checkpointed=True)
         except (FileNotFoundError, OSError, KeyError):
             z, info_dict = solver.solve(re)
             results[re] = info_dict
             if args.checkpoint:
-                np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]))
+                np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]),
+                         **{k: info_dict[k] for k in
+                            ("nu", "linear_iter", "nonlinear_iter",
+                             "time", "converged") if k in info_dict})
         if args.paraview:
             os.makedirs(outdir, exist_ok=True)
             from .utils.vtk import write_velocity_vtu, write_vtu
