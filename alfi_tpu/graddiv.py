@@ -89,9 +89,22 @@ class GradDivSolver:
         gd_mode = "cell_avg" if discretisation == "pkp0" else "exact"
         self.form = NSForm(V, Q, graddiv_mode=gd_mode)
         self.bcset = BCSet(self.Z, self.problem.bcs(self.Z))
-        self.vmg = VelocityMG(
-            self, transfer_mode="schoeberl" if transfer else "standard",
-            smoother=smoother, smoother_driver="chebyshev", cycle="w")
+        self.smoother = smoother
+        if smoother == "amg":
+            # the reference's algebraic baseline
+            # (/root/reference/examples/graddiv/graddiv.py:140-147
+            # smoother "amg" -> hypre boomeramg): smoothed-aggregation
+            # AMG on the gamma-grad-div operator, rebuilt per gamma in
+            # solve() because the SA prolongators smooth on the static
+            # K + gamma*G part.  Expected (and the papers' point):
+            # iterations blow up as gamma grows.
+            self.vmg = None
+        else:
+            self.vmg = VelocityMG(
+                self, transfer_mode="schoeberl" if transfer
+                else "standard",
+                smoother=smoother, smoother_driver="chebyshev",
+                cycle="w")
         self._load = self._assemble_load()
 
     def _assemble_load(self):
@@ -115,7 +128,15 @@ class GradDivSolver:
         }
         # the reference uses viscosity coefficient 1 in front of
         # 2 sym grad: our kernel's nu multiplies the same term.
-        vmg = self.vmg
+        if self.smoother == "amg":
+            from .mg.amg import VelocityAMG
+
+            self.gamma = float(gamma)  # SA smooths on K + gamma*G
+            vmg = VelocityAMG(self, smoothing=self.smoothing)
+            amg = True
+        else:
+            vmg = self.vmg
+            amg = False
         mask_u = self.bcset.mask[0]
         zero_wind = jnp.zeros((self.form.V.ndof, self.d),
                               dtype=real_dtype)
@@ -125,9 +146,13 @@ class GradDivSolver:
             state = vmg.setup(zero_wind, params)
             solve_A = vmg.make_solve_A(state)
 
-            def A(v):
-                return vmg.level_apply(vmg.nlevels - 1,
-                                       state["tensors"][-1], v)
+            if amg:
+                def A(v):
+                    return vmg.level_apply(state["tensors"], None, v)
+            else:
+                def A(v):
+                    return vmg.level_apply(vmg.nlevels - 1,
+                                           state["tensors"][-1], v)
 
             return cg(A, b, pc=solve_A, rtol=rtol, maxit=maxit)
 

@@ -28,7 +28,7 @@ def main():
     parser.add_argument("--diagonal", type=str, default="left",
                         choices=["left", "right", "crossed"])
     parser.add_argument("--smoother", type=str, required=True,
-                        choices=["patch", "jacobi"])
+                        choices=["patch", "jacobi", "amg"])
     args, _ = parser.parse_known_args()
 
     s = GradDivSolver(

@@ -47,3 +47,15 @@ def test_sv_bary_macro_gamma_robust():
         _, n, conv = s.solve(g)
         its[g] = n if conv else 999
     assert max(its.values()) <= 30, its
+
+
+def test_amg_baseline_blows_up_in_gamma():
+    """The reference's algebraic baseline (graddiv.py smoother "amg" ->
+    hypre boomeramg): smoothed-aggregation AMG cannot see the
+    divergence-free near-null space, so iterations must blow up with
+    gamma while patch+transfer stays flat — the papers' contrast."""
+    its = sweep(discretisation="pkp0", smoother="amg", transfer=False)
+    robust = sweep(discretisation="pkp0", smoother="patch",
+                   transfer=True)
+    assert its[0.0] < 999, its          # gamma=0: plain AMG converges
+    assert its[1e4] > 3 * robust[1e4], (its, robust)
