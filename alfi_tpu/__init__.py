@@ -15,3 +15,14 @@ from .driver import get_default_parser, get_solver, run_solver  # noqa: E402
 from .fem.bcs import BCSet, DirichletBC  # noqa: E402
 from .problem import NavierStokesProblem  # noqa: E402
 from .solver import ConstantPressureSolver, ScottVogeliusSolver  # noqa: E402
+
+# the reference's flat `from alfi import *` surface also exposes the
+# relaxation/transfer/hierarchy building blocks
+# (/root/reference/alfi/__init__.py); these are their analogues
+from .mesh.hierarchy import MeshHierarchy, mesh_hierarchy  # noqa: E402
+from .mg.bubble import BubbleTransfer  # noqa: E402
+from .mg.patches import (  # noqa: E402
+    macrostar_patches,
+    star_patches,
+)
+from .mg.schoeberl import SchoeberlTransfer  # noqa: E402
