@@ -64,6 +64,40 @@ def set_pc_dtype(dtype):
     _pc_dtype = dtype
 
 
+_mg_dtype = None
+
+
+def mg_dtype():
+    """dtype of the velocity-block MG CYCLE (level matvecs, smoother
+    Krylov arithmetic, transfers, patch applies).  The cycle is a
+    PRECONDITIONER inside flexible GMRES, which admits an inexact
+    (lower-precision) application by construction; the factorisations
+    that carry the gamma-conditioned cancellation (patch LU, coarse
+    solve) stay f64 regardless — only the per-iteration STREAMING work
+    changes precision.  f64 is emulated on TPU (~3-10x the cost of f32
+    on the VPU, no MXU), so the f32 cycle is the difference between an
+    idle chip and a fast one; iteration-count parity on the high-Re
+    sweeps is the acceptance gate (results/README.md round 3).
+
+    Default: f64 (the safe control) until the per-component precision
+    mix proves iteration-count parity on the high-Re sweeps; opt in
+    with ALFI_TPU_MG_DTYPE=f32 (+ ALFI_TPU_MG_F64_KEYS for the state
+    entries to keep in f64)."""
+    global _mg_dtype
+    if _mg_dtype is None:
+        env = os.environ.get("ALFI_TPU_MG_DTYPE")
+        if env:
+            _mg_dtype = {"f32": jnp.float32, "f64": jnp.float64}[env]
+        else:
+            _mg_dtype = real_dtype
+    return _mg_dtype
+
+
+def set_mg_dtype(dtype):
+    global _mg_dtype
+    _mg_dtype = dtype
+
+
 _use_woodbury = None
 
 

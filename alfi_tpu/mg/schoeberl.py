@@ -127,10 +127,13 @@ class SchoeberlTransfer:
         """Raw gamma-grad-div operator via the static low-rank factors
         (no BC handling)."""
         lev = self.fine_level
-        Bt = lev.form.graddiv_factors()  # (nc, nld, q)
+        # f32 MG cycle (config.mg_dtype): stream the factors in the
+        # vector dtype instead of upcasting the whole transfer to f64
+        Bt = lev.form.graddiv_factors().astype(v.dtype)  # (nc, nld, q)
         vloc = v.reshape(-1)[lev.rows]
         t = jnp.einsum("clq,cl->cq", Bt, vloc)
-        rloc = gamma * jnp.einsum("clq,cq->cl", Bt, t)
+        rloc = (gamma.astype(v.dtype)
+                * jnp.einsum("clq,cq->cl", Bt, t))
         if lev.row_sum is not None:
             return lev.row_sum(rloc).reshape(lev.V.ndof, self.mg.d)
         r = jnp.zeros((lev.V.ndof * self.mg.d,), dtype=v.dtype)
@@ -142,11 +145,13 @@ class SchoeberlTransfer:
 
     def prolong(self, state, uc):
         rhs = self.standard.apply(uc)
-        b = self.zmask * self._apply_gd(state["gamma"], rhs)
+        b = self.zmask.astype(rhs.dtype) * self._apply_gd(
+            state["gamma"], rhs)
         tildeu = self._patch_solve(state["lufac"], b)
         return rhs - tildeu
 
     def restrict(self, state, rf):
-        t = self._patch_solve(state["lufac"], self.zmask * rf)
+        t = self._patch_solve(state["lufac"],
+                              self.zmask.astype(rf.dtype) * rf)
         b = self._apply_gd(state["gamma"], t)
         return self.standard.apply_transpose(rf - b)

@@ -91,20 +91,22 @@ class PointEvalTransfer:
         """Pointwise evaluation: (ndof_t,) or (ndof_t, d) from source."""
         import jax.numpy as jnp
 
+        w = self.w.astype(u_src.dtype)  # f32 MG cycle: no silent upcast
         if u_src.ndim == 1:
-            return jnp.einsum("il,il->i", self.w, u_src[self.idx])
-        return jnp.einsum("il,ild->id", self.w, u_src[self.idx])
+            return jnp.einsum("il,il->i", w, u_src[self.idx])
+        return jnp.einsum("il,ild->id", w, u_src[self.idx])
 
     def apply_transpose(self, r_tgt):
         """Adjoint (restriction): accumulate weighted rows."""
         import jax.numpy as jnp
 
+        w = self.w.astype(r_tgt.dtype)
         if r_tgt.ndim == 1:
             if self.row_sum is not None:
-                return self.row_sum(self.w * r_tgt[:, None])
+                return self.row_sum(w * r_tgt[:, None])
             out = jnp.zeros((self.source.ndof,), dtype=r_tgt.dtype)
-            return out.at[self.idx].add(self.w * r_tgt[:, None])
-        vals = self.w[:, :, None] * r_tgt[:, None, :]
+            return out.at[self.idx].add(w * r_tgt[:, None])
+        vals = w[:, :, None] * r_tgt[:, None, :]
         if self.row_sum is not None:
             return self.row_sum(vals)
         out = jnp.zeros((self.source.ndof, r_tgt.shape[1]),

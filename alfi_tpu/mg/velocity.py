@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
+from ..config import mg_dtype, real_dtype
 from ..fem import FunctionSpace, MixedFunctionSpace, NSForm, dg_lagrange
 from ..fem.bcs import BCSet
 from ..solvers.krylov import fgmres
@@ -114,6 +114,11 @@ class VelocityMG:
             spaces.append(V)
 
         import os
+
+        #: MG-cycle dtype (config.mg_dtype): the per-iteration streaming
+        #: work (level matvecs, smoother arithmetic, transfers, patch
+        #: applies) runs here; factorisations stay f64
+        self.cdt = mg_dtype()
 
         #: cell-minor element-tensor layout for the level matvecs
         #: (see MGLevel.ensure_transposed)
@@ -306,7 +311,8 @@ class VelocityMG:
         multiply-reduce over cell-lane vectors, streaming the operator
         without XLA's minor-dim tile padding."""
         lev = self.levels[l]
-        v0 = (lev.mask_u * v).reshape(-1)
+        mask = lev.mask_u.astype(v.dtype)
+        v0 = (mask * v).reshape(-1)
         nld = lev.rows.shape[1]
         if tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
             vloc = v0[lev.rows_t]  # (nld, nc)
@@ -336,8 +342,8 @@ class VelocityMG:
                     rflat = rflat + self.facet_row_sums[l](rf)
                 else:
                     rflat = rflat.at[self.facet_rows[l]].add(rf)
-        r = rflat.reshape(lev.V.ndof, self.d)
-        return lev.mask_u * r + (1.0 - lev.mask_u) * v
+        r = rflat.reshape(lev.V.ndof, self.d).astype(v.dtype)
+        return mask * r + (1.0 - mask) * v
 
     # ------------------------------------------------------------------
     def transfer_setup(self, params, statics=None):
@@ -570,6 +576,27 @@ class VelocityMG:
                                   if schoeberl_state is not None
                                   else [t.setup(params)
                                         for t in self.schoeberl])
+        if self.cdt != real_dtype:
+            # factorisations were computed in f64 above (the gamma-
+            # conditioned cancellation lives there); the STORED cycle
+            # state is cast once here so every per-iteration op streams
+            # cdt bytes.  The coarse factor keeps its own precision mix
+            # (f64 QR / f32 LU + f64 refinement / host) — _coarse_solve
+            # casts at its boundary.  ALFI_TPU_MG_F64_KEYS names state
+            # entries kept in f64 (comma-separated: schoeberl,
+            # patch_lufacs, tensors, ftensors) — the precision-mix
+            # tuning knob.
+            import os as _os
+
+            from ..utils.tree import cast_floating
+
+            keep = set(
+                k for k in _os.environ.get(
+                    "ALFI_TPU_MG_F64_KEYS", "").split(",") if k)
+            keep.add("coarse_fac")
+            state = {k: (v if k in keep
+                         else cast_floating(v, self.cdt))
+                     for k, v in state.items()}
         if self.smoother_driver == "chebyshev":
             state["lmax"] = [
                 self._estimate_lmax(l, state)
@@ -604,17 +631,20 @@ class VelocityMG:
                         ftensors=ften).reshape(-1)
 
                 def pc(r):
-                    x = papply(lufac, (lev.mask_u * r).reshape(-1),
-                               Aop_flat)
-                    x = x.reshape(-1, self.d) * lev.mask_u
-                    return x + (1.0 - lev.mask_u) * r
+                    mask = lev.mask_u.astype(r.dtype)
+                    x = papply(lufac, (mask * r).reshape(-1),
+                               Aop_flat).astype(r.dtype)
+                    x = x.reshape(-1, self.d) * mask
+                    return x + (1.0 - mask) * r
 
                 return pc
 
             def pc(r):
-                x = papply(lufac, (lev.mask_u * r).reshape(-1))
-                x = x.reshape(-1, self.d) * lev.mask_u
-                return x + (1.0 - lev.mask_u) * r
+                mask = lev.mask_u.astype(r.dtype)
+                x = papply(lufac,
+                           (mask * r).reshape(-1)).astype(r.dtype)
+                x = x.reshape(-1, self.d) * mask
+                return x + (1.0 - mask) * r
 
             return pc
         diag = state["patch_lufacs"][l - 1].reshape(-1, self.d)
@@ -640,8 +670,8 @@ class VelocityMG:
         def op(x):
             return pc(self.level_apply(l, tensors, x, ftensors=ften))
 
-        v = lev.mask_u * jnp.ones((lev.V.ndof, self.d),
-                                  dtype=real_dtype)
+        v = lev.mask_u.astype(tensors.dtype) * jnp.ones(
+            (lev.V.ndof, self.d), dtype=tensors.dtype)
         v = v / jnp.linalg.norm(v)
         Vs = [v]
         H = jnp.zeros((k + 1, k), dtype=real_dtype)
@@ -685,9 +715,11 @@ class VelocityMG:
 
     def _coarse_solve(self, state, r):
         lev0 = self.levels[0]
-        x = self.coarse_apply(state["coarse_fac"], r.reshape(-1))
-        return (x.reshape(-1, self.d) * lev0.mask_u
-                + (1.0 - lev0.mask_u) * r)
+        x = self.coarse_apply(
+            state["coarse_fac"],
+            r.reshape(-1).astype(real_dtype)).astype(r.dtype)
+        mask = lev0.mask_u.astype(r.dtype)
+        return (x.reshape(-1, self.d) * mask + (1.0 - mask) * r)
 
     def _smooth(self, l, state, b, x0):
         """Fixed-iteration level smoother: FGMRES(smoothing)+PC for the NS
@@ -711,12 +743,16 @@ class VelocityMG:
         return x
 
     def _prolong(self, l, state, xc):
-        """correction prolongation coarse level l -> l+1."""
+        """correction prolongation coarse level l -> l+1.  Output is
+        cast back to the input (cycle) dtype so an f64-kept transfer
+        state (ALFI_TPU_MG_F64_KEYS) doesn't leak f64 into an f32
+        cycle."""
         if self.schoeberl is not None:
             xf = self.schoeberl[l].prolong(state["schoeberl"][l], xc)
         else:
             xf = self.prolongs[l].apply(xc)
-        return self.levels[l + 1].mask_u * xf
+        xf = xf.astype(xc.dtype)
+        return self.levels[l + 1].mask_u.astype(xf.dtype) * xf
 
     def _restrict(self, l, state, rf):
         """residual restriction level l+1 -> l: the Schoeberl adjoint only
@@ -726,7 +762,8 @@ class VelocityMG:
             rc = self.schoeberl[l].restrict(state["schoeberl"][l], rf)
         else:
             rc = self.prolongs[l].apply_transpose(rf)
-        return self.levels[l].mask_u * rc
+        rc = rc.astype(rf.dtype)
+        return self.levels[l].mask_u.astype(rc.dtype) * rc
 
     def vcycle(self, l, state, b, x0, ncoarse=1):
         """One V(1,1)-in-spirit cycle (ncoarse=2: W-cycle): the smoother
@@ -759,14 +796,19 @@ class VelocityMG:
 
     def make_solve_A(self, state):
         """rv -> MG-approximate A^{-1} rv (one Richardson iteration from
-        zero = one cycle of the configured kind)."""
+        zero = one cycle of the configured kind).  The cycle runs in
+        ``self.cdt`` (config.mg_dtype) — the cast happens HERE, at the
+        preconditioner boundary, so the outer Krylov stays f64."""
         L = self.nlevels - 1
 
         def solve_A(rv):
+            rv_c = rv.astype(self.cdt)
             if self.cycle == "full":
-                return self.fmg(state, rv)
-            ncoarse = 2 if self.cycle == "w" else 1
-            return self.vcycle(L, state, rv, jnp.zeros_like(rv),
-                               ncoarse=ncoarse)
+                out = self.fmg(state, rv_c)
+            else:
+                ncoarse = 2 if self.cycle == "w" else 1
+                out = self.vcycle(L, state, rv_c,
+                                  jnp.zeros_like(rv_c), ncoarse=ncoarse)
+            return out.astype(rv.dtype)
 
         return solve_A

@@ -145,6 +145,11 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         x0 = tzeros_like(b)
     b = project(b)
     m = restart
+    # scalar state (Hessenberg, Givens, residual estimate) follows the
+    # VECTOR dtype: the f32 MG level smoother (config.mg_dtype) must not
+    # upcast its iterates through f64 scalars; the f64 outer solve is
+    # unchanged
+    vdt = jnp.result_type(*[x.dtype for x in jax.tree.leaves(b)])
 
     def opA(v):
         return project(A(v))
@@ -167,10 +172,10 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         V = tstack_zeros(b, m + 1)
         V = tset(V, 0, tscale(1.0 / (beta + _EPS), r))
         Z = tstack_zeros(b, m)
-        R = jnp.zeros((m + 1, m), dtype=real_dtype)  # rotated Hessenberg
-        cs = jnp.zeros((m,), dtype=real_dtype)
-        sn = jnp.zeros((m,), dtype=real_dtype)
-        g = jnp.zeros((m + 1,), dtype=real_dtype).at[0].set(beta)
+        R = jnp.zeros((m + 1, m), dtype=vdt)  # rotated Hessenberg
+        cs = jnp.zeros((m,), dtype=vdt)
+        sn = jnp.zeros((m,), dtype=vdt)
+        g = jnp.zeros((m + 1,), dtype=vdt).at[0].set(beta)
 
         def arnoldi_cond(state):
             V, Z, R, cs, sn, g, j, rnorm = state
@@ -217,7 +222,7 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         Rsq = jnp.where(
             active[None, :] & active[:, None],
             Rsq,
-            jnp.eye(m, dtype=real_dtype),
+            jnp.eye(m, dtype=vdt),
         )
         y = jax.scipy.linalg.solve_triangular(
             Rsq, jnp.where(active, g[:m], 0.0), lower=False
@@ -344,7 +349,9 @@ def chebyshev(A, b, pc, x0=None, maxit=2, lmin=None, lmax=None,
         x = taxpy(alpha, d, x)
         return x, d, alpha
 
+    vdt = jnp.result_type(*[xx.dtype for xx in jax.tree.leaves(b)])
     x, _, _ = lax.fori_loop(
-        0, maxit, body, (x0, tzeros_like(b), jnp.asarray(0.0, real_dtype))
+        0, maxit, body,
+        (x0, tzeros_like(b), jnp.asarray(0.0, vdt))
     )
     return x

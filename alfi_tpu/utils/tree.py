@@ -65,3 +65,11 @@ def tcombine(buf, coef):
     return jax.tree.map(
         lambda b: jnp.tensordot(coef, b, axes=(0, 0)), buf
     )
+
+
+def cast_floating(t, dtype):
+    """Cast every floating-point leaf of a pytree to ``dtype`` (int
+    leaves — LU pivots, index tables — pass through)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t)

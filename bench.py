@@ -38,21 +38,50 @@ def vanka_dof_throughput(solver):
     _, papply = vmg.patch_solvers[L - 1]
 
     @jax.jit
-    def factor(u, p):
+    def factor(u, p_fine, p):
         # setup returns closures (coarse_solve) — extract only the
-        # fine-level patch factorisation as the jit output
-        return vmg.setup(u, p, static=static)["patch_lufacs"][L - 1]
+        # fine-level patch factorisation as the jit output.  p_fine is
+        # passed so the PC being timed is the PRODUCTION operator
+        # (stabilised terms included when stabilisation is wired).
+        return vmg.setup(u, p, static=static,
+                         p_fine=p_fine)["patch_lufacs"][L - 1]
 
-    lufac = factor(solver.z[0], params)
-    r = jnp.ones((vmg.levels[L].V.ndof * vmg.d,),
-                 dtype=solver.z[0].dtype)
-    fn = jax.jit(papply)
-    jax.block_until_ready(fn(lufac, r))  # compile
-    n = 20
-    t0 = time.perf_counter()
+    lufac = factor(solver.z[0], solver.z[1], params)
+    # production cycle dtype (config.mg_dtype): f32 on TPU
+    cdt = getattr(vmg, "cdt", solver.z[0].dtype)
+    lufac = jax.tree.map(
+        lambda a: (a.astype(cdt)
+                   if jnp.issubdtype(a.dtype, jnp.floating) else a),
+        lufac)
+    r = jnp.ones((vmg.levels[L].V.ndof * vmg.d,), dtype=cdt)
+    # chain K applications inside ONE jit: on this TPU the tunnel adds
+    # ~4 ms RPC per dispatch, so one-shot timing measures the tunnel,
+    # not the op.  Back-to-back on-device cost is the honest number —
+    # inside the solver the sweep runs fused in the Newton-step program.
+    from jax import lax
+
+    K = 32
+
+    @jax.jit
+    def run(fac, x):
+        return lax.fori_loop(0, K, lambda i, v: papply(fac, v), x)
+
+    @jax.jit
+    def empty(x):
+        return x + 1.0
+
+    jax.block_until_ready(run(lufac, r))  # compile
+    jax.block_until_ready(empty(r))
+    n = 5
+    best = best0 = float("inf")
     for _ in range(n):
-        out = jax.block_until_ready(fn(lufac, r))
-    dt = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(lufac, r))
+        best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(empty(r))
+        best0 = min(best0, time.perf_counter() - t0)
+    dt = max(best - best0, 1e-9) / K
     ndofs = int(vmg.patchsets[L - 1].sizes.sum())
     return ndofs / dt
 

@@ -45,8 +45,10 @@ def test_level_apply_parity(monkeypatch, sv):
     params = s0.params()
     static0 = getattr(s0, "_almg_static", None)
     static1 = getattr(s1, "_almg_static", None)
-    st0 = s0.vmg.setup(s0.z[0], params, static=static0)
-    st1 = s1.vmg.setup(s1.z[0], params, static=static1)
+    st0 = s0.vmg.setup(s0.z[0], params, static=static0,
+                       p_fine=s0.z[1])
+    st1 = s1.vmg.setup(s1.z[0], params, static=static1,
+                       p_fine=s1.z[1])
     rng = np.random.default_rng(0)
     for l in range(s0.vmg.nlevels):
         lev = s0.vmg.levels[l]
