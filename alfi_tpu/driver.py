@@ -135,6 +135,11 @@ def run_solver(solver, res, args):
             with np.load(path) as chk:
                 import jax.numpy as jnp
 
+                if ("converged" in chk.files
+                        and not bool(chk["converged"])):
+                    # legacy checkpoint of a DIVERGED solve (pre-fix
+                    # runs stored them): retry instead of loading
+                    raise KeyError("diverged checkpoint")
                 solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
                 # checkpoints carry the solve's info dict so resumed
                 # sweeps reproduce the TRUE iteration/time tables; old
@@ -152,7 +157,10 @@ def run_solver(solver, res, args):
         except (FileNotFoundError, OSError, KeyError):
             z, info_dict = solver.solve(re)
             results[re] = info_dict
-            if args.checkpoint:
+            # never checkpoint a diverged solve: the stored z would be
+            # garbage and a resumed sweep would "skip" the failed Re
+            # with poisoned state instead of retrying it
+            if args.checkpoint and info_dict.get("converged", True):
                 np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]),
                          **{k: info_dict[k] for k in
                             ("nu", "linear_iter", "nonlinear_iter",

@@ -547,7 +547,8 @@ class VelocityMG:
                 A0 = assemble_dense_from_tensors(
                     lev0.form, tensors[0], lev0.mask_u,
                     facet_tensors=ftensors[0], facet_rows=frows0)
-                coarse_fac = {"lu": get_factorization().factor(A0)}
+                coarse_fac = {
+                    "lu": get_factorization("coarse").factor(A0)}
 
         if self.transposed_apply:
             # pack the step-side operator stream cell-minor; skip any
@@ -704,7 +705,7 @@ class VelocityMG:
         if "lu" in fac:
             from ..solvers.batched_lu import get_factorization
 
-            return get_factorization().solve(fac["lu"], bflat)
+            return get_factorization("coarse").solve(fac["lu"], bflat)
         if "wb" in fac:
             from ..solvers.linear import woodbury_dense_apply
 

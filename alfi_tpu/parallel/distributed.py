@@ -131,7 +131,7 @@ class DistributedSolver:
         self.d = vmg.d
         fs = get_factorization("patch")
         self.fs = fs
-        self.fs_dense = get_factorization("dense")
+        self.fs_dense = get_factorization("coarse")
 
         # ---------------- partition + halos (host) ----------------
         base = (mh.uniform_meshes[0] if mh.kind == "bary" else mh[0])

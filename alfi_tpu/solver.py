@@ -716,7 +716,17 @@ class NavierStokesSolver:
             u, p = z
             pint = float(self.form.pressure_integral(p))
             z = (u, p - pint / self.area)
-        self.z = z
+        if ninfo.converged:
+            self.z = z
+        else:
+            # keep the last CONVERGED state as the continuation
+            # iterate: carrying a diverged (possibly NaN) z forward
+            # poisons every later Re step (observed: the nref=3 sweep
+            # cascade after one divergence).  The reference gets the
+            # same effect by raising out of the sweep — prior
+            # checkpoints stay usable (SURVEY.md §5.3); we keep
+            # sweeping from the last good state instead.
+            z = self.z = self.z_last
 
         # gamma-free residual sanity check
         # (/root/reference/alfi/solver.py:282-291)

@@ -158,6 +158,23 @@ class _CustomF64Factorization:
         return lu_solve_batched(fac, b)
 
 
+class _QRInverseFactorization:
+    """Explicit f64 inverse via one-time QR + blocked matrix-rhs trsm;
+    every apply is then a single (emulated-f64) GEMV.  For the MG
+    coarse grid on TPU: _QRFactorization's vector-rhs TriangularSolve
+    serialises its N back-substitution steps INSIDE every coarse apply
+    (measured ~18 ms at N=2178 — a third of the whole FMG cycle),
+    while apply-by-inverse has the same ~kappa*eps forward-error order
+    and streams at MXU speed."""
+
+    def factor(self, A):
+        Q, R = jnp.linalg.qr(A)
+        return jax.scipy.linalg.solve_triangular(R, Q.T, lower=False)
+
+    def solve(self, fac, b):
+        return fac @ b
+
+
 class _ExplicitInverseFactorization:
     """Dense patch INVERSES — the reference's own PkP0 patch trick
     (``patch_pc_patch_dense_inverse``, /root/reference/alfi/solver.py:599-602):
@@ -297,6 +314,10 @@ def get_factorization(kind="dense"):
                 dt, transposed=app in ("f32t", "f32p", "bf16t",
                                        "bf16p", "t"),
                 use_pallas=app in ("f32p", "bf16p"))
+        elif kind == "coarse":
+            # ONE matrix applied many times per cycle: pay the blocked
+            # inverse once, GEMV thereafter
+            _fs[kind] = _QRInverseFactorization()
         else:
             _fs[kind] = _QRFactorization()
     return _fs[kind]

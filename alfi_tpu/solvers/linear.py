@@ -132,15 +132,7 @@ def woodbury_dense_factor(M, B, gamma, qr_threshold=8192):
     M32, B32 = M.astype(dt), B.astype(dt)
     from ..mg.patches import woodbury_effective_gamma
 
-    if M.shape[0] > qr_threshold:
-        # XLA's blocked f32 LuDecomposition overflows scoped vmem on
-        # v5e above N ~ 8k (measured: N=13220 exceeds the 16M limit);
-        # QR is blocked differently and survives
-        Qm, Rm = jnp.linalg.qr(M32)
-        fac = {"Qm": Qm, "Rm": Rm}
-    else:
-        fac = {"Mlu": jax.scipy.linalg.lu_factor(M32)}
-
+    fac = {"Minv": _explicit_inverse32(M32, qr_threshold)}
     Y = _woodbury_msolve32(fac, B32)
     R = B.shape[1]
     S = B32.T @ Y
@@ -187,11 +179,7 @@ def woodbury_refined_dense_factor(M, B, gamma, qr_threshold=8192):
     # symmetric equilibration of M: unit row/col inf-norms
     d = 1.0 / jnp.sqrt(jnp.max(jnp.abs(M), axis=1) + 1e-300)
     Ms32 = (d[:, None] * M * d[None, :]).astype(dt)
-    if M.shape[0] > qr_threshold:
-        Qm, Rm = jnp.linalg.qr(Ms32)
-        fac = {"Qm": Qm, "Rm": Rm}
-    else:
-        fac = {"Mlu": jax.scipy.linalg.lu_factor(Ms32)}
+    fac = {"Minv": _explicit_inverse32(Ms32, qr_threshold)}
     fac.update(d=d, M=M, B=B, gamma=gamma)
 
     def _msolve32(b32):
@@ -215,8 +203,30 @@ def woodbury_refined_dense_factor(M, B, gamma, qr_threshold=8192):
     return fac
 
 
+def _explicit_inverse32(A32, qr_threshold=8192):
+    """One-time explicit f32 inverse, so every downstream solve is a
+    single GEMM/GEMV on the MXU.  XLA's TriangularSolve with a VECTOR
+    rhs runs its N pivot steps sequentially on TPU (measured 18 ms per
+    coarse apply at N=2178, ~1/3 of the whole FMG cycle); the matrix-
+    rhs trsm used HERE is blocked and runs once per factorisation.
+    Forward error of apply-by-inverse is ~kappa*eps32 — the same order
+    as the triangular solves it replaces, and the refined path wraps
+    f64 iterative refinement around it either way."""
+    if A32.shape[0] > qr_threshold:
+        # XLA's blocked f32 LuDecomposition overflows scoped vmem on
+        # v5e above N ~ 8k (measured: N=13220 exceeds the 16M limit);
+        # QR is blocked differently and survives
+        Qm, Rm = jnp.linalg.qr(A32)
+        return jax.scipy.linalg.solve_triangular(Rm, Qm.T, lower=False)
+    lu = jax.scipy.linalg.lu_factor(A32)
+    return jax.scipy.linalg.lu_solve(
+        lu, jnp.eye(A32.shape[0], dtype=A32.dtype))
+
+
 def _woodbury_msolve32(fac, b32):
-    if "Mlu" in fac:
+    if "Minv" in fac:
+        return fac["Minv"] @ b32
+    if "Mlu" in fac:  # legacy factor dicts (pre-explicit-inverse)
         return jax.scipy.linalg.lu_solve(fac["Mlu"], b32)
     return jax.scipy.linalg.solve_triangular(
         fac["Rm"], fac["Qm"].T @ b32, lower=False)

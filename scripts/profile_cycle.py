@@ -41,6 +41,11 @@ def chain_time(fn, x0, K=32, reps=3):
     return best / K
 
 
+def emit(out, key, val):
+    out[key] = val
+    print(json.dumps({key: val}), flush=True)
+
+
 def main(nref=2):
     import jax
     import jax.numpy as jnp
@@ -76,36 +81,36 @@ def main(nref=2):
 
     # dispatch overhead baseline
     t_empty = chain_time(lambda v: v + 1.0, r0, K=1)
-    out["dispatch_ms"] = round(t_empty * 1e3, 3)
+    emit(out, "dispatch_ms", round(t_empty * 1e3, 3))
 
     lufac = state["patch_lufacs"][L - 1]
     _, papply = vmg.patch_solvers[L - 1]
-    out["patch_apply_ms"] = round(
-        chain_time(lambda r: papply(lufac, r), r0) * 1e3, 3)
+    emit(out, "patch_apply_ms", round(
+        chain_time(lambda r: papply(lufac, r), r0) * 1e3, 3))
 
     tensors = state["tensors"][L]
     ften = state["ftensors"][L]
-    out["level_apply_ms"] = round(chain_time(
+    emit(out, "level_apply_ms", round(chain_time(
         lambda v: vmg.level_apply(L, tensors, v, ftensors=ften),
-        v0) * 1e3, 3)
+        v0) * 1e3, 3))
 
-    out["smooth_ms"] = round(chain_time(
+    emit(out, "smooth_ms", round(chain_time(
         lambda v: vmg._smooth(L, state, v, jnp.zeros_like(v)),
-        v0) * 1e3, 3)
+        v0) * 1e3, 3))
 
-    out["transfer_roundtrip_ms"] = round(chain_time(
+    emit(out, "transfer_roundtrip_ms", round(chain_time(
         lambda v: vmg._prolong(L - 1, state,
                                vmg._restrict(L - 1, state, v) * 0.5),
-        v0) * 1e3, 3)
+        v0) * 1e3, 3))
 
     b0 = (vmg.levels[0].mask_u
           * jnp.ones((vmg.levels[0].V.ndof, vmg.d),
                      dtype=jnp.float64)).reshape(-1)
-    out["coarse_solve_ms"] = round(chain_time(
-        lambda b: vmg.coarse_apply(state["coarse_fac"], b), b0) * 1e3, 3)
+    emit(out, "coarse_solve_ms", round(chain_time(
+        lambda b: vmg.coarse_apply(state["coarse_fac"], b), b0) * 1e3, 3))
 
-    out["fmg_cycle_ms"] = round(chain_time(
-        lambda v: vmg.fmg(state, v), v0) * 1e3, 3)
+    emit(out, "fmg_cycle_ms", round(chain_time(
+        lambda v: vmg.fmg(state, v), v0) * 1e3, 3))
 
     from alfi_tpu.solvers.fieldsplit import SchurPC
     pc = SchurPC(solver.form, solver.bcset.mask[0],
@@ -116,14 +121,14 @@ def main(nref=2):
         return (u, p)
 
     q0 = jnp.ones((solver.Z.Q.ndof,), dtype=jnp.float64)
-    out["schur_pc_apply_ms"] = round(
-        chain_time(pc_chain, (v0, q0)) * 1e3, 3)
+    emit(out, "schur_pc_apply_ms", round(
+        chain_time(pc_chain, (v0, q0)) * 1e3, 3))
 
     from alfi_tpu.solvers.linear import make_jacobian_matvec
     J = make_jacobian_matvec(solver.form.residual, solver.bcset,
                              solver.z, params)
-    out["jacobian_matvec_ms"] = round(
-        chain_time(lambda z: J(z), (v0, q0)) * 1e3, 3)
+    emit(out, "jacobian_matvec_ms", round(
+        chain_time(lambda z: J(z), (v0, q0)) * 1e3, 3))
 
     # ---- f32 leaf variants (mixed-precision headroom) ----
     from alfi_tpu.mg.patches import _gather_scatter
@@ -139,8 +144,8 @@ def main(nref=2):
             def papply32(r):
                 xp = jnp.einsum("pij,pj->pi", inv32, gather(r))
                 return scatter(xp, r.dtype)
-        out["patch_apply_f32_ms"] = round(chain_time(
-            papply32, r0.astype(jnp.float32)) * 1e3, 3)
+        emit(out, "patch_apply_f32_ms", round(chain_time(
+            papply32, r0.astype(jnp.float32)) * 1e3, 3))
 
     t32 = tensors.astype(jnp.float32)
     rows = lev.rows
@@ -151,16 +156,57 @@ def main(nref=2):
         rloc = jnp.einsum("cij,cj->ci", t32, vloc)
         return rs(rloc) if rs is not None else v
 
-    out["level_apply_f32_core_ms"] = round(
-        chain_time(level32, r0.astype(jnp.float32)) * 1e3, 3)
+    emit(out, "level_apply_f32_core_ms", round(
+        chain_time(level32, r0.astype(jnp.float32)) * 1e3, 3))
 
     def level64(v):
         vloc = v[rows]
         rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
         return rs(rloc) if rs is not None else v
 
-    out["level_apply_f64_core_ms"] = round(
-        chain_time(level64, r0) * 1e3, 3)
+    emit(out, "level_apply_f64_core_ms", round(
+        chain_time(level64, r0) * 1e3, 3))
+
+    # ---- stage decomposition of the two hot ops (f32) ----
+    # Which piece is the time: the gather, the contraction, or the
+    # gather-sum?  Each stage is timed alone by chaining it through a
+    # reduction back to the stage's own input shape.
+    ps = vmg.patchsets[L - 1]
+    r32 = r0.astype(jnp.float32)
+    # anti-DCE: feed each stage's result back through a *1e-30 add so
+    # the chain carries a real data dependency but the value stays put
+    emit(out, "patch_gather_only_ms", round(
+        chain_time(lambda r: r + 1e-30 * gather(r).sum(), r32)
+        * 1e3, 3))
+
+    if not isinstance(lufac, (tuple, dict)):
+        rp0 = gather(r32)
+        if lufac.shape[0] == lufac.shape[1]:
+            inv32_t = lufac.astype(jnp.float32)
+            emit(out, "patch_gemv_only_t_ms", round(chain_time(
+                lambda rp: jnp.sum(inv32_t * rp.T[None, :, :],
+                                   axis=1).T, rp0) * 1e3, 3))
+        else:
+            inv32b = lufac.astype(jnp.float32)
+            emit(out, "patch_gemv_only_ms", round(chain_time(
+                lambda rp: jnp.einsum("pij,pj->pi", inv32b, rp),
+                rp0) * 1e3, 3))
+        xp0 = jnp.ones_like(rp0)
+        emit(out, "patch_scatter_only_ms", round(chain_time(
+            lambda xp: xp + 1e-30 * scatter(xp, jnp.float32).sum(),
+            xp0) * 1e3, 3))
+
+    v32 = r0.astype(jnp.float32)
+    emit(out, "level_gather_only_ms", round(
+        chain_time(lambda v: v + 1e-30 * v[rows].sum(), v32)
+        * 1e3, 3))
+    vloc0 = v32[rows]
+    emit(out, "level_einsum_only_ms", round(chain_time(
+        lambda vl: jnp.einsum("cij,cj->ci", t32, vl), vloc0) * 1e3, 3))
+    if rs is not None:
+        rloc0 = jnp.ones_like(vloc0)
+        emit(out, "level_rowsum_only_ms", round(chain_time(
+            lambda rl: rl + 1e-30 * rs(rl).sum(), rloc0) * 1e3, 3))
 
     print(json.dumps(out), flush=True)
 

@@ -1,0 +1,265 @@
+#!/usr/bin/env python3
+"""THE measurement queue — one parameterized, resumable runner.
+
+Replaces the accreted run_queue_r2*.sh / run_cpu_tables*.sh scripts
+(VERDICT round-2 weak #5): the flaky TPU tunnel is a standing
+condition, so waiting, retrying, snapshotting and partial-credit
+accounting live HERE, and a round's queue is just a stage list.
+
+    python scripts/queue.py <queue> [--list]      # e.g. r3tpu, r3cpu
+
+Per stage:
+  * runs from an immutable HEAD snapshot (scripts/launch_snapshot.sh)
+    with a PERSISTENT checkpoint dir, so retries resume their Reynolds
+    continuation instead of restarting multi-hour sweeps;
+  * TPU stages first wait for the tunnel to answer;
+  * exit 0 -> results/logs/.done_<name> (FULL completion);
+  * otherwise converged solves are counted ONLY after the last
+    "=== attempt" marker of the CURRENT attempt (ADVICE r2 items 1-2:
+    cumulative grep double-counts resumed work) and recorded in
+    .partial_<name> as "<solves>/<full>" — partial credit is visibly
+    distinct from done;
+  * stages are retried round-robin until done or --max-rounds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+LOGS = os.path.join(REPO, "results", "logs")
+SNAP = os.path.join(REPO, "scripts", "launch_snapshot.sh")
+
+
+def iters(problem, need, **kw):
+    """An examples/iters.py stage command; ``need`` = #continuation
+    steps in the full sweep (for partial-credit accounting)."""
+    cmd = [sys.executable, "examples/iters.py", "--checkpoint",
+           "--problem", problem]
+    for k, v in kw.items():
+        flag = "--" + k.replace("_", "-")
+        if v is True:
+            cmd.append(flag)
+        else:
+            cmd += [flag, str(v)]
+    return cmd, need
+
+
+# ---------------------------------------------------------------------
+# Round-3 queues.  Judge-criticality order (VERDICT round-2 "Next
+# round" items 2, 3, 4): the north star first, then the two untouched
+# production families, then the scale rows.
+# ---------------------------------------------------------------------
+
+def _stage(name, log, cmd, need=0, timeout=14400, platform="tpu",
+           env=None):
+    return dict(name=name, log=log, cmd=cmd, need=need, timeout=timeout,
+                platform=platform, env=env or {})
+
+
+def r3tpu():
+    st = []
+    # north star: ldc3d [P2+FB]^3-P0 SUPG almg, Re -> 5000
+    # (reference: examples/generate_submission:12-23 at 12288 ranks;
+    # single-chip scale: baseN=4 nref=1, 37k dofs)
+    cmd, need = iters(
+        "ldc3d", 52, nref_start=1, nref_end=1, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=5000)
+    st.append(_stage("ns1", "ldc3d_p2fb_nref1_re5000.log", cmd,
+                     need=need, timeout=21600))
+    # p1fb_bfs3d production family on the reference coarse mesh — the
+    # first end-to-end [P1+FB]^3 continuation (BubbleTransfer in anger)
+    cmd, need = iters(
+        "bfs3d", 11, mesh="tests/fixtures/bfs3d_coarse55.msh",
+        nref_start=1, nref_end=1, baseN=0, k=1, solver_type="almg",
+        discretisation="pkp0", mh="uniform", stabilisation_type="supg",
+        stabilisation_weight=0.05, patch="star", smoothing=10,
+        restriction=True, re_max=500)
+    st.append(_stage("f2", "bfs3d_p1fb_coarse55_re500.log", cmd,
+                     need=need, timeout=14400))
+    # sv_ldc3d production family (k=3 bary macrostar Burman)
+    cmd, need = iters(
+        "ldc3d", 7, nref_start=1, nref_end=1, baseN=2, k=3,
+        solver_type="almg", discretisation="sv", mh="bary",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        patch="macro", smoothing=10, restriction=True, re_max=500)
+    st.append(_stage("f1", "sv_ldc3d_k3_nref1_re500.log", cmd,
+                     need=need, timeout=14400))
+    # 2D nref=3 headline row to Re=10000 (resumes checkpoint_c3;
+    # round-2's attempt diverge-cascaded at Re=2200 — fixed)
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=10000)
+    st.append(_stage("c3", "iters_ldc2d_nref3_re10000.log", cmd,
+                     need=need, timeout=21600))
+    # 3D scale row: ldc3d [P2+FB]^3 nref=2 (~256k dofs), Re -> 500
+    cmd, need = iters(
+        "ldc3d", 7, nref_start=2, nref_end=2, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=500)
+    st.append(_stage("f3", "ldc3d_p2fb_nref2_re500.log", cmd,
+                     need=need, timeout=21600))
+    # SV nref=3 stretch row
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
+        solver_type="almg", discretisation="sv", mh="bary",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        patch="macro", restriction=True, re_max=10000)
+    st.append(_stage("sv3", "iters_ldc2d_sv_nref3_re10000.log", cmd,
+                     need=need, timeout=21600))
+    return st
+
+
+def r3cpu():
+    """Iteration-count tables are platform-independent; CPU chain runs
+    niced so it never competes with the TPU process for the host."""
+    st = []
+    # dfg full reference-protocol sweep (VERDICT missing #6): the dfg
+    # benchmark regime is Re<=200 (benchmark 2D-1 at Re=20); sweep the
+    # iters ladder to 400 with the bfs extra points for depth
+    cmd = [sys.executable, "examples/dfg.py", "--checkpoint",
+           "--nref", "1", "--k", "2", "--solver-type", "almg",
+           "--discretisation", "pkp0", "--mh", "uniform",
+           "--stabilisation-type", "supg", "--patch", "star",
+           "--restriction", "--re-max", "500"]
+    st.append(_stage("dfg2", "dfg_pkp0_nref1_re500.log", cmd, need=8,
+                     timeout=43200, platform="cpu"))
+    return st
+
+
+QUEUES = {"r3tpu": r3tpu, "r3cpu": r3cpu}
+
+
+# ---------------------------------------------------------------------
+
+
+def wait_tpu(poll=240):
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                timeout=poll, capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        time.sleep(poll)
+
+
+MARKER = "=== attempt"
+
+
+def solves_in_current_attempt(log):
+    try:
+        lines = open(log, errors="replace").read().splitlines()
+    except OSError:
+        return 0
+    last = 0
+    for i, ln in enumerate(lines):
+        if ln.startswith(MARKER):
+            last = i
+    return sum("Nonlinear solve converged" in ln for ln in lines[last:])
+
+
+def run_stage(s):
+    name = s["name"]
+    done = os.path.join(LOGS, ".done_" + name)
+    if os.path.exists(done):
+        return True
+    if s["platform"] == "tpu":
+        wait_tpu()
+    log = os.path.join(LOGS, s["log"])
+    with open(log, "a") as f:
+        f.write("%s %s %s\n" % (MARKER, name,
+                                time.strftime("%F %T", time.gmtime())))
+    env = dict(os.environ, **s["env"])
+    cmd = [SNAP, name] + s["cmd"]
+    if s["platform"] == "cpu":
+        env["ALFI_TPU_FORCE_CPU"] = "1"
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        cmd = ["nice", "-n", "19"] + cmd
+    with open(log, "a") as f:
+        try:
+            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                timeout=s["timeout"], env=env,
+                                cwd=REPO).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+    if rc == 0:
+        open(done, "w").write("exit 0\n")
+        partial = os.path.join(LOGS, ".partial_" + name)
+        if os.path.exists(partial):
+            os.unlink(partial)
+        return True
+    solves = solves_in_current_attempt(log)
+    total = sum(solves_in_current_attempt_all(log))
+    if s["need"] and total >= s["need"]:
+        # every sweep step is checkpointed: cumulative credit across
+        # attempts is sound ONLY because --checkpoint resumes skip
+        # already-solved Re values (they print as 'checkpointed')
+        open(os.path.join(LOGS, ".partial_" + name), "w").write(
+            "%d/%d solves (this attempt: %d)\n"
+            % (total, s["need"], solves))
+    return False
+
+
+def solves_in_current_attempt_all(log):
+    """Converged-or-checkpointed count per attempt section."""
+    try:
+        lines = open(log, errors="replace").read().splitlines()
+    except OSError:
+        return [0]
+    # count unique converged Re rows over the whole log: resumed
+    # attempts re-print checkpointed rows, so dedup by Re value
+    res = set()
+    for ln in lines:
+        if "'converged': True" in ln and "'Re':" in ln:
+            try:
+                res.add(ln.split("'Re':")[1].split(",")[0].strip())
+            except IndexError:
+                pass
+    return [len(res)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queue", choices=sorted(QUEUES))
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--max-rounds", type=int, default=20)
+    args = ap.parse_args()
+    stages = QUEUES[args.queue]()
+    if args.list:
+        for s in stages:
+            print(json.dumps({k: s[k] for k in
+                              ("name", "log", "need", "timeout",
+                               "platform")}))
+        return
+    os.makedirs(LOGS, exist_ok=True)
+    for rnd in range(1, args.max_rounds + 1):
+        pending = [s for s in stages if not os.path.exists(
+            os.path.join(LOGS, ".done_" + s["name"]))]
+        print("[queue %s] round %d: %d pending" %
+              (args.queue, rnd, len(pending)), flush=True)
+        if not pending:
+            break
+        for s in pending:
+            ok = run_stage(s)
+            print("[queue %s] stage %s -> %s" %
+                  (args.queue, s["name"], "done" if ok else "retry"),
+                  flush=True)
+        time.sleep(60)
+
+
+if __name__ == "__main__":
+    main()

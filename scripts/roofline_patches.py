@@ -45,21 +45,41 @@ def measure(solver):
     jax.block_until_ready(lufac)
     r = jnp.ones((vmg.levels[L].V.ndof * vmg.d,),
                  dtype=solver.z[0].dtype)
-    fn = jax.jit(papply)
-    jax.block_until_ready(fn(lufac, r))
-    n = 50
-    t0 = time.perf_counter()
+    # chain K applies inside ONE jit: the tunnel costs ~26 ms RPC per
+    # dispatch, so one-shot timing measures the tunnel, not the op
+    # (round-2's numbers here were exactly that artefact)
+    from jax import lax
+
+    K = 32
+
+    @jax.jit
+    def run(fac, x):
+        return lax.fori_loop(0, K, lambda i, v: papply(fac, v), x)
+
+    jax.block_until_ready(run(lufac, r))
+    n = 5
+    best = float("inf")
     for _ in range(n):
-        out = jax.block_until_ready(fn(lufac, r))
-    dt = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(lufac, r))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / K
 
     ps = vmg.patchsets[L - 1]
     inv = lufac if not isinstance(lufac, tuple) else lufac[0]
     itemsize = jnp.asarray(inv).dtype.itemsize
     npat, m = ps.npatches, ps.m
     bytes_inv = npat * m * m * itemsize
+    # honest per-apply HBM traffic: inverses + index tables (dof
+    # gather (np, m) int32 + scatter table (nflat, mu) int32) + the
+    # gathered/scattered vectors themselves
+    nflat = ps.nflat
+    mu = 7  # typical scatter-table multiplicity at these shapes
+    bytes_idx = npat * m * 4 + nflat * mu * 4
+    bytes_vec = (npat * m + nflat * 2) * 4
+    bytes_total = bytes_inv + bytes_idx + bytes_vec
     flops = 2 * npat * m * m
-    sol_s = bytes_inv / 819e9  # v5e HBM ~819 GB/s
+    sol_s = bytes_total / 819e9  # v5e HBM ~819 GB/s
     ndofs = int(ps.sizes.sum())
     return {
         "apply_ms": round(dt * 1e3, 3),
@@ -69,6 +89,7 @@ def measure(solver):
         "npatches": npat, "m": m,
         "inv_dtype": str(jnp.asarray(inv).dtype),
         "bytes_inverses": bytes_inv,
+        "bytes_total": bytes_total,
         "flops_per_apply": flops,
     }
 
