@@ -309,12 +309,49 @@ class VelocityMG:
         (nc, nld, nld) runs the einsum path; cell-minor (nld, nld, nc)
         — produced by setup under ALFI_TPU_LEVEL_APPLY=t — runs a
         multiply-reduce over cell-lane vectors, streaming the operator
-        without XLA's minor-dim tile padding."""
+        without XLA's minor-dim tile padding.
+
+        A dict ``{"M", "B", "gamma"}`` is the GAMMA-SPLIT mixed-
+        precision form used by the f32 cycle (config.mg_dtype): the
+        gamma-free part M = nu K + advect N (+stabilisation) streams in
+        the cycle dtype, while the AL term applies through its factors,
+        gamma B (B^T v), with the q-dim dot ACCUMULATED IN F64.  An
+        all-f32 contraction of the summed tensor nu K + gamma G rounds
+        the gamma part at gamma*eps32 ~ 1e-3 ABSOLUTE, burying the
+        viscous signal (~nu) on near-divergence-free fields — the
+        measured round-2 blow-up of the f32 cycle at Re>=100.  The f64
+        dot makes the per-apply rounding vanish where the term cancels;
+        storing M and B in f32 is then only a CONSISTENT operator
+        perturbation (relative eps32 of each part), which the outer
+        flexible GMRES absorbs."""
         lev = self.levels[l]
         mask = lev.mask_u.astype(v.dtype)
         v0 = (mask * v).reshape(-1)
         nld = lev.rows.shape[1]
-        if tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
+        if isinstance(tensors, dict):
+            M, B = tensors["M"], tensors["B"]
+            g64 = tensors["gamma"].astype(jnp.float64)
+            vloc = v0[lev.rows]
+            rloc = jnp.einsum("cij,cj->ci", M, vloc)
+            if B.shape[-1] == 1:
+                # q=1 (pkp0 cell_avg): keep VPU-friendly 2D shapes —
+                # an (nc, nld, 1) operand would tile-pad 128x
+                B1 = B[:, :, 0].astype(jnp.float64)
+                d = jnp.sum(B1 * vloc.astype(jnp.float64), axis=1)
+                gpart = B1 * (g64 * d)[:, None]
+            else:
+                B64 = B.astype(jnp.float64)
+                d = jnp.einsum("cip,ci->cp", B64,
+                               vloc.astype(jnp.float64))
+                gpart = jnp.einsum("cip,cp->ci", B64, g64 * d)
+            rloc = rloc + gpart.astype(rloc.dtype)
+            if lev.row_sum is not None:
+                rflat = lev.row_sum(rloc)
+            else:
+                rflat = jnp.zeros((lev.V.ndof * self.d,),
+                                  dtype=v.dtype)
+                rflat = rflat.at[lev.rows].add(rloc)
+        elif tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
             vloc = v0[lev.rows_t]  # (nld, nc)
             rloc = jnp.sum(tensors * vloc[None, :, :].astype(
                 tensors.dtype), axis=1)
@@ -407,6 +444,12 @@ class VelocityMG:
             fwinds[-1] = params["wind"]
             for l in range(self.nlevels - 2, -1, -1):
                 fwinds[l] = self.injects[l].apply(fwinds[l + 1])
+        # gamma-split mixed-precision streaming state for the f32
+        # cycle: level_apply dict form (see its docstring).  Built
+        # alongside the f64 tensors, which the setup-side consumers
+        # (patch factorisation, coarse assembly, diagonals) still use.
+        mixed_tensors = ([] if self.cdt != real_dtype
+                         and self.smoother == "patch" else None)
         N_els = None
         if wb:
             params_M = dict(params)
@@ -423,6 +466,13 @@ class VelocityMG:
                     self.levels[l].form.graddiv_factors())
                 for l, tM in enumerate(tensors_M)
             ]
+            if mixed_tensors is not None:
+                mixed_tensors = [
+                    {"M": tM,
+                     "B": self.levels[l].form.graddiv_factors(),
+                     "gamma": gamma}
+                    for l, tM in enumerate(tensors_M)
+                ]
         else:
             # split form: only the advection part is wind-dependent; the
             # element tensors are reassembled cheaply and N is reused for
@@ -441,6 +491,10 @@ class VelocityMG:
                 M_el = (params["nu"] * K_el
                         + params["advect"] * N_el)
                 tensors.append(M_el + gamma * G_el)
+                if mixed_tensors is not None:
+                    mixed_tensors.append(
+                        {"M": M_el, "B": form.graddiv_factors(),
+                         "gamma": gamma})
                 if l == 0:
                     M_tensors0 = M_el
                 N_els.append(N_el)
@@ -567,7 +621,8 @@ class VelocityMG:
                 for F in ftensors
             ]
         state = {
-            "tensors": tensors,
+            "tensors": (mixed_tensors if mixed_tensors is not None
+                        else tensors),
             "ftensors": ftensors,
             "patch_lufacs": patch_lufacs,
             "coarse_fac": coarse_fac,
@@ -581,12 +636,14 @@ class VelocityMG:
             # factorisations were computed in f64 above (the gamma-
             # conditioned cancellation lives there); the STORED cycle
             # state is cast once here so every per-iteration op streams
-            # cdt bytes.  The coarse factor keeps its own precision mix
-            # (f64 QR / f32 LU + f64 refinement / host) — _coarse_solve
-            # casts at its boundary.  ALFI_TPU_MG_F64_KEYS names state
-            # entries kept in f64 (comma-separated: schoeberl,
-            # patch_lufacs, tensors, ftensors) — the precision-mix
-            # tuning knob.
+            # cdt bytes.  The level operators are stored GAMMA-SPLIT
+            # (mixed_tensors above) so the f32 stream keeps the AL
+            # term's cancellation — see level_apply.  The coarse factor
+            # keeps its own precision mix (f64 QR / f32 LU + f64
+            # refinement / host) — _coarse_solve casts at its boundary.
+            # ALFI_TPU_MG_F64_KEYS names state entries kept in f64
+            # (comma-separated: schoeberl, patch_lufacs, tensors,
+            # ftensors) — the precision-mix tuning knob.
             import os as _os
 
             from ..utils.tree import cast_floating
@@ -671,8 +728,10 @@ class VelocityMG:
         def op(x):
             return pc(self.level_apply(l, tensors, x, ftensors=ften))
 
-        v = lev.mask_u.astype(tensors.dtype) * jnp.ones(
-            (lev.V.ndof, self.d), dtype=tensors.dtype)
+        tdt = (tensors["M"].dtype if isinstance(tensors, dict)
+               else tensors.dtype)
+        v = lev.mask_u.astype(tdt) * jnp.ones(
+            (lev.V.ndof, self.d), dtype=tdt)
         v = v / jnp.linalg.norm(v)
         Vs = [v]
         H = jnp.zeros((k + 1, k), dtype=real_dtype)

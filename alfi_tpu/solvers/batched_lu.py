@@ -126,7 +126,11 @@ class _ScipyFactorization:
         return jax.scipy.linalg.lu_factor(A.astype(self.dtype))
 
     def solve(self, fac, b):
-        x = jax.scipy.linalg.lu_solve(fac, b.astype(self.dtype)[..., None])
+        # cast to the FACTOR's dtype, not the construction dtype: the
+        # f32-cycle state cast (mg/velocity.py setup) may have stored
+        # the factor in the cycle dtype
+        dt = fac[0].dtype
+        x = jax.scipy.linalg.lu_solve(fac, b.astype(dt)[..., None])
         return x[..., 0].astype(b.dtype)
 
 

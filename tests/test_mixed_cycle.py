@@ -1,0 +1,159 @@
+"""Gamma-split mixed-precision MG cycle (config.mg_dtype = f32).
+
+The f32 cycle is only legitimate if it preserves the AL term's
+cancellation: an all-f32 contraction of nu K + gamma G rounds the
+gamma part at gamma*eps32 absolute, which buries the viscous signal on
+near-divergence-free fields (round-2's measured blow-up at Re>=100).
+The gamma-split dict form of level_apply streams M in f32 but
+accumulates the grad-div dot in f64.  Gates:
+
+ * operator equivalence: the dict apply matches the f64 summed-tensor
+   apply to f32 relative accuracy;
+ * cancellation: on a discretely divergence-free field the gamma-split
+   f32 apply reproduces the f64 gamma-term (~0) far below the
+   gamma*eps32 noise floor of the all-f32 summed apply;
+ * iteration parity: a continuation sweep to Re=1000 with the f32
+   cycle matches the f64 cycle's Krylov counts.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alfi_tpu import ConstantPressureSolver
+from alfi_tpu.config import real_dtype, set_mg_dtype
+from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+
+@pytest.fixture
+def f32_cycle():
+    set_mg_dtype(jnp.float32)
+    yield
+    set_mg_dtype(real_dtype)
+
+
+def _solver(**kw):
+    return ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(8), nref=1, k=2,
+        solver_type="almg", hierarchy="uniform", gamma=1e4,
+        verbose=False, **kw)
+
+
+def _setup_state(s):
+    params = s.params()
+    tstate = s._transfer_setup(params)
+    return s.vmg.setup(s.z[0], params, schoeberl_state=tstate,
+                       static=s._almg_static), params
+
+
+def test_gamma_split_apply_matches_f64(f32_cycle):
+    s = _solver()
+    s.advect_val = 1.0
+    s.nu_val = s.char_L * s.char_U / 100.0
+    state, params = _setup_state(s)
+    vmg = s.vmg
+    L = vmg.nlevels - 1
+    tens = state["tensors"][L]
+    assert isinstance(tens, dict), "f32 cycle must store gamma-split"
+    assert tens["M"].dtype == jnp.float32
+
+    # f64 reference operator rebuilt from the same parts
+    lev = vmg.levels[L]
+    K_el, G_el = lev.form._static_velocity_tensors()
+    N_el = lev.form.advection_element_tensors(s.z[0])
+    T64 = (params["nu"] * K_el + params["advect"] * N_el
+           + params["gamma"] * G_el)
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((lev.V.ndof, vmg.d)))
+    y64 = vmg.level_apply(L, T64, v)
+    y32 = vmg.level_apply(L, tens, v.astype(jnp.float32))
+    rel = float(jnp.linalg.norm(y32.astype(jnp.float64) - y64)
+                / jnp.linalg.norm(y64))
+    assert rel < 1e-5
+
+
+def test_gamma_split_preserves_cancellation(f32_cycle):
+    """On a discretely div-free field the gamma term must vanish in the
+    f32 apply too — the whole point of the split."""
+    s = _solver()
+    state, params = _setup_state(s)
+    vmg = s.vmg
+    L = vmg.nlevels - 1
+    lev = vmg.levels[L]
+    tens = state["tensors"][L]
+    B = np.asarray(lev.form.graddiv_factors())[:, :, 0]  # (nc, nld)
+    rows = np.asarray(lev.rows)
+
+    # exact projection to discrete div-freeness WITHIN the free dofs:
+    # v -= C^T (C C^T)^+ C v with C the per-cell constraint matrix
+    # restricted to unconstrained columns (projecting before masking
+    # would let the mask reintroduce cell divergences at the boundary,
+    # whose genuine gamma-terms then dominate the reference norm)
+    rng = np.random.default_rng(5)
+    nflat = lev.V.ndof * vmg.d
+    nc = B.shape[0]
+    mflat = np.asarray(lev.mask_u).reshape(-1)
+    C = np.zeros((nc, nflat))
+    np.add.at(C, (np.repeat(np.arange(nc), rows.shape[1]),
+                  rows.ravel()), B.ravel())
+    C = C * mflat[None, :]
+    vf = rng.standard_normal(nflat) * mflat
+    lam = np.linalg.lstsq(C @ C.T, C @ vf, rcond=None)[0]
+    vf = vf - C.T @ lam
+    d = (B * vf[rows]).sum(axis=1)
+    assert np.max(np.abs(d)) < 1e-8 * np.linalg.norm(vf)
+
+    # the f32 CYCLE vector is the ground-truth input (exactly
+    # representable in f64); truth = f64 apply of that vector.  Casting
+    # an f64-div-free field and comparing against its f64 image would
+    # instead measure the cast's eps32 divergence — a property of the
+    # test vector, not of the apply.
+    v32 = jnp.asarray(vf.reshape(lev.V.ndof, vmg.d)).astype(jnp.float32)
+    v64 = v32.astype(jnp.float64)
+
+    K_el, G_el = lev.form._static_velocity_tensors()
+    T64 = params["nu"] * K_el + params["gamma"] * G_el
+    y64 = vmg.level_apply(L, T64, v64)
+
+    y32 = vmg.level_apply(L, tens, v32)
+    # all-f32 SUMMED tensor control: the broken formulation
+    ysum32 = vmg.level_apply(L, T64.astype(jnp.float32), v32)
+
+    ref = jnp.linalg.norm(y64)
+    err_split = float(jnp.linalg.norm(y32.astype(jnp.float64) - y64)
+                      / ref)
+    err_sum = float(jnp.linalg.norm(ysum32.astype(jnp.float64) - y64)
+                    / ref)
+    # the split apply's error is a consistent eps32 perturbation of the
+    # M-part; the summed contraction's gamma*eps32 rounding is ~100x it
+    assert err_split < 3e-6
+    assert err_sum > 30 * err_split
+
+
+@pytest.mark.slow
+def test_f32_cycle_iteration_parity():
+    res = [1, 10, 100, 1000]
+
+    def sweep():
+        s = _solver(stabilisation_type="supg")
+        counts = []
+        for re in res:
+            _, info = s.solve(re)
+            assert info["converged"]
+            counts.append(info["linear_iter"])
+        return counts
+
+    c64 = sweep()
+    set_mg_dtype(jnp.float32)
+    try:
+        c32 = sweep()
+    finally:
+        set_mg_dtype(real_dtype)
+    # measured (CPU, this config): f64 [8,7,18,49] vs f32 [8,7,19,53]
+    # — the ~8% tail is the f32 smoother ARITHMETIC (keeping
+    # schoeberl/patch_lufacs state in f64 does not close it), the
+    # price of a ~3.5x cheaper cycle.  Gate: within 10% + 1 iteration,
+    # and NO blow-up (round 2's all-f32 cycle diverged here).
+    c32, c64 = np.array(c32), np.array(c64)
+    assert np.all(c32 <= 1.10 * c64 + 1), (c64.tolist(), c32.tolist())
