@@ -226,6 +226,8 @@ class PatchSet:
         self.dofs = np.where(self.active, vd, ndft).astype(np.int64)
         self.cells = np.where(dead, nc, pcells).astype(np.int64)
         self.l2p = l2p.astype(index_dtype)
+        #: vector size, for the d-row gather/scatter (_gather_scatter)
+        self.space_d = d
 
 
 def _merge_scalar_dofs(sdofs, sizes, extra):
@@ -528,14 +530,65 @@ def make_patch_factor_parts(patchset):
     return factor_parts
 
 
+def _scalar_pair_dofs(patchset, d):
+    """(np, m//d) SCALAR dof table when every patch slot group of d
+    consecutive entries holds the d components of one scalar dof (true
+    whenever BCs constrain whole velocity vectors — the padded dof
+    lists are sorted and comp-minor, so surviving components stay
+    adjacent).  Returns None when the pairing fails (per-component
+    constraints)."""
+    dofs, active, m = patchset.dofs, patchset.active, patchset.m
+    if d <= 1 or m % d:
+        return None
+    D = dofs.reshape(dofs.shape[0], m // d, d)
+    act = active.reshape(dofs.shape[0], m // d, d)
+    full = act.all(axis=2)
+    none = ~act.any(axis=2)
+    if not np.all(full | none):
+        return None
+    grouped = (D[:, :, :1] % d == 0) & (
+        D == D[:, :, :1] + np.arange(d)[None, None, :])
+    if not np.all(grouped[full]):
+        return None
+    nsc = patchset.nflat // d
+    return np.where(full, D[:, :, 0] // d, nsc)
+
+
 def _gather_scatter(patchset, transposed=False):
     """Patch gather/scatter closures; ``transposed=True`` works in the
     patch-minor (m, np) vector layout used by the transposed-inverse
     apply (solvers/patch_pallas.py) — the gather produces it directly
-    from the transposed dof table, so no on-device relayout happens."""
+    from the transposed dof table, so no on-device relayout happens.
+
+    The batch-major path fetches d-VECTOR ROWS of the (ndof, d) view
+    when the patch slots pair up (scripts/gather_microbench.py: random
+    fetches cost ~16 cycles EACH regardless of width, so halving/
+    thirding the fetch count halves/thirds the index-op time)."""
     import jax.numpy as jnp
 
     from ..utils.scatter import default_use_tables, make_gather_sum
+
+    use_tables = default_use_tables()
+    d = getattr(patchset, "space_d", None)
+    sdofs_np = None
+    if not transposed and use_tables and d:
+        sdofs_np = _scalar_pair_dofs(patchset, d)
+    if sdofs_np is not None:
+        nsc = patchset.nflat // d
+        sdofs = jnp.asarray(sdofs_np)
+        ssum = make_gather_sum(sdofs_np, nsc)
+
+        def gather(r_flat):
+            r2 = r_flat.reshape(nsc, d)
+            r2pad = jnp.concatenate(
+                [r2, jnp.zeros((1, d), dtype=r_flat.dtype)])
+            return r2pad[sdofs].reshape(-1, patchset.m)
+
+        def scatter(xp, dtype):
+            x3 = xp.astype(dtype).reshape(xp.shape[0], -1, d)
+            return ssum(x3).reshape(-1)
+
+        return gather, scatter
 
     dofs_np = patchset.dofs.T if transposed else patchset.dofs
     active_np = patchset.active.T if transposed else patchset.active
@@ -543,7 +596,7 @@ def _gather_scatter(patchset, transposed=False):
     active = jnp.asarray(active_np)
     # pad slots carry patchset.nflat and are dropped by the table
     gsum = (make_gather_sum(dofs_np, patchset.nflat)
-            if default_use_tables() else None)
+            if use_tables else None)
 
     def gather(r_flat):
         rpad = jnp.concatenate(

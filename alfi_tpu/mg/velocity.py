@@ -41,8 +41,40 @@ class MGLevel:
         self.row_sum = (make_gather_sum(np.asarray(rows),
                                         V.ndof * V.value_size)
                         if default_use_tables() else None)
+        #: d-VECTOR-ROW index ops: random gathers on this TPU cost ~16
+        #: cycles per FETCH regardless of width (scripts/
+        #: gather_microbench.py: 8-byte rows move 2x the bytes of
+        #: scalars in half the time), and rows are comp-minor
+        #: (vector_rows), so gathering (nc, nloc) rows of the (ndof, d)
+        #: view halves/thirds the fetch count of the flat gather
+        self.srows = None
+        self.srow_sum = None
+        if self.row_sum is not None:
+            self.srows = jnp.asarray(np.asarray(V.cell_dofs))
+            self.srow_sum = make_gather_sum(np.asarray(V.cell_dofs),
+                                            V.ndof)
         self.rows_t = None
         self.row_sum_t = None
+
+    def gather_cells(self, v0):
+        """(nc, nld) cell-local values from the flat vector ``v0``."""
+        nld = self.rows.shape[1]
+        if self.srows is None:
+            return v0[self.rows]
+        d = self.V.value_size
+        return v0.reshape(self.V.ndof, d)[self.srows].reshape(-1, nld)
+
+    def sum_cells(self, rloc, dtype):
+        """Adjoint of gather_cells: accumulate (nc, nld) cell-local
+        contributions into a flat (ndof*d,) vector."""
+        if self.srow_sum is not None:
+            d = self.V.value_size
+            return self.srow_sum(
+                rloc.reshape(rloc.shape[0], -1, d)).reshape(-1)
+        if self.row_sum is not None:
+            return self.row_sum(rloc)
+        out = jnp.zeros((self.V.ndof * self.V.value_size,), dtype=dtype)
+        return out.at[self.rows].add(rloc)
 
     def ensure_transposed(self):
         """Cell-minor gather/sum companions for the transposed
@@ -331,7 +363,7 @@ class VelocityMG:
         if isinstance(tensors, dict):
             M, B = tensors["M"], tensors["B"]
             g64 = tensors["gamma"].astype(jnp.float64)
-            vloc = v0[lev.rows]
+            vloc = lev.gather_cells(v0)
             rloc = jnp.einsum("cij,cj->ci", M, vloc)
             if B.shape[-1] == 1:
                 # q=1 (pkp0 cell_avg): keep VPU-friendly 2D shapes —
@@ -345,25 +377,16 @@ class VelocityMG:
                                vloc.astype(jnp.float64))
                 gpart = jnp.einsum("cip,cp->ci", B64, g64 * d)
             rloc = rloc + gpart.astype(rloc.dtype)
-            if lev.row_sum is not None:
-                rflat = lev.row_sum(rloc)
-            else:
-                rflat = jnp.zeros((lev.V.ndof * self.d,),
-                                  dtype=v.dtype)
-                rflat = rflat.at[lev.rows].add(rloc)
+            rflat = lev.sum_cells(rloc, v.dtype)
         elif tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
             vloc = v0[lev.rows_t]  # (nld, nc)
             rloc = jnp.sum(tensors * vloc[None, :, :].astype(
                 tensors.dtype), axis=1)
             rflat = lev.row_sum_t(rloc.astype(v.dtype))
         else:
-            vloc = v0[lev.rows]
+            vloc = lev.gather_cells(v0)
             rloc = jnp.einsum("cij,cj->ci", tensors, vloc)
-            if lev.row_sum is not None:
-                rflat = lev.row_sum(rloc)
-            else:
-                rflat = jnp.zeros((lev.V.ndof * self.d,), dtype=v.dtype)
-                rflat = rflat.at[lev.rows].add(rloc)
+            rflat = lev.sum_cells(rloc, v.dtype)
         if ftensors is not None:
             nfd = self.facet_rows[l].shape[1]
             if ftensors.shape[-1] != nfd:  # facet-minor (i, j, nif)

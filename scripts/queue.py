@@ -187,7 +187,9 @@ def run_stage(s):
     cmd = [SNAP, name] + s["cmd"]
     if s["platform"] == "cpu":
         env["ALFI_TPU_FORCE_CPU"] = "1"
-        env.setdefault("JAX_PLATFORMS", "cpu")
+        # force-override: the session env pins JAX_PLATFORMS to the
+        # TPU backend, and setdefault silently left CPU stages on TPU
+        env["JAX_PLATFORMS"] = "cpu"
         cmd = ["nice", "-n", "19"] + cmd
     with open(log, "a") as f:
         try:
