@@ -220,9 +220,10 @@ class DistributedSolver:
             lidx=_j(lev.lidx, _I32), sslot=_j(lev.sslot, _I32),
         )
         if self.stab is not None:
-            # localized stabilisation statics (basis hessians, pressure
-            # test gradients, cell sizes, quad points) for the
-            # stabilised level operators / patch matrices
+            # localized stabilisation statics (cell sizes, quad points)
+            # for the stabilised level operators / patch matrices; the
+            # physical basis hessians are contracted in-trace from the
+            # shared reference tabulation + the localized jinv
             im = self.stab[l].impl
 
             def lloc(arr, fill=0.0):
@@ -230,8 +231,6 @@ class DistributedSolver:
                 m = live.reshape(live.shape + (1,) * (a.ndim - 2))
                 return np.where(m, a, fill)
 
-            out["hess"] = _j(lloc(im.hess), real_dtype)
-            out["gq"] = _j(lloc(im.gq), real_dtype)
             out["h"] = _j(np.where(live, np.asarray(im.h)[cells], 1.0),
                           real_dtype)
             if im.form.rhs is not None:
@@ -642,8 +641,7 @@ class DistributedSolver:
             im, press, fwind, aux = stab
             Ts = im.velocity_element_tensors_from(
                 params, w_loc, press[:-1][:, None], fwind[lv["lcd"]],
-                lv["jinv"], lv["detj"], lv["hess"], lv["gq"], lv["h"],
-                lv["xq"], aux)
+                lv["jinv"], lv["detj"], lv["h"], lv["xq"], aux)
             T = T + params["advect"] * Ts
         return jnp.where(lv["live"][:, None, None], T, 0.0)
 
@@ -1069,7 +1067,7 @@ class DistributedSolver:
                    if part is not None else 0.0)
             rv_s, rq_s = im.residual_local(
                 u_cells, p, w_cells, lv["jinv"][:mco],
-                lv["detj"][:mco], lv["hess"][:mco], lv["gq"][:mco],
+                lv["detj"][:mco],
                 lv["h"][:mco], mix["xq"], params, aux)
             advect = params["advect"]
             rv = rv + advect * rv_s

@@ -43,15 +43,16 @@ class ShakibSUPG:
         self.weight = weight if weight is not None else (
             0.1 if d == 3 else 1.0)
         tv, tq = form.tab_v, form.tab_q
-        # physical hessians of the velocity basis per cell:
-        # H_phys[l, a, b] = Jinv^T H_ref Jinv  (affine cells)
-        href = jnp.asarray(
+        # REFERENCE-element hessians / pressure gradients only: the
+        # per-cell physical versions (H_phys = Jinv^T H_ref Jinv on
+        # affine cells) are contracted IN-TRACE inside the kernels.
+        # Materialising them eagerly baked an (nc, nq, nl, d, d)
+        # constant into every lowered module — 387 MB of f64 for the
+        # 3072-cell ldc3d north star, which blew the remote-compile
+        # payload limit (HTTP 413) and would be ~3 GB at nref=2.
+        self.href = jnp.asarray(
             form.V.element.tabulate_hess(tv.ref_pts), dtype=real_dtype)
-        jinv = form.geom.jinv
-        self.hess = jnp.einsum(
-            "qlde,cda,ceb->cqlab", href, jinv, jinv)
-        gq_ref = tq.gphi  # (nq, nlq, d)
-        self.gq = jnp.einsum("qle,cej->cqlj", gq_ref, jinv)
+        self.gq_ref = tq.gphi  # (nq, nlq, d)
         self.h = form.geom.h  # CellSize
 
     # ------------------------------------------------------------------
@@ -78,22 +79,28 @@ class ShakibSUPG:
         return (4.0 * w2 / h2
                 + self.magic * (4.0 * nu / h2) ** 2) ** (-0.5)
 
-    def residual_local(self, u_loc, p_loc, w_loc, jinv, detj, hess, gq,
+    def residual_local(self, u_loc, p_loc, w_loc, jinv, detj,
                        h, xq, params, aux):
         """Per-cell stabilisation residual from explicit per-cell
         batches: (rv_loc (nc, nl, d), rq_loc (nc, nlq) | None), NOT
         advect-scaled.  The global :meth:`residual` gathers and calls
         this; the distributed solver calls it on each block's owned
-        cells with localized geometry."""
+        cells with localized geometry.  Physical hessians / pressure
+        gradients are contracted here from the shared reference
+        tabulations — contract the basis index l FIRST so the
+        (nc, nq, nl, d, d) physical-hessian batch never materialises."""
         form = self.form
         tv = form.tab_v
+        href, gq_ref = self.href, self.gq_ref
         nu, advect = params["nu"], params["advect"]
         u_q = jnp.einsum("ql,cld->cqd", tv.phi, u_loc)
         gu = jnp.einsum("qle,cej,cli->cqij", tv.gphi, jinv, u_loc)
-        Hu = jnp.einsum("cqlab,cli->cqiab", hess, u_loc)
+        # Hu[c,q,i,a,b] = sum_l H_phys[c,q,l,a,b] u_loc[c,l,i]
+        Hu_ref = jnp.einsum("qlde,cli->cqide", href, u_loc)
+        Hu = jnp.einsum("cqide,cda,ceb->cqiab", Hu_ref, jinv, jinv)
         # div(2 sym grad u)_i = lap u_i + d_i div u
         visc = jnp.einsum("cqiaa->cqi", Hu) + jnp.einsum("cqaia->cqi", Hu)
-        gp = jnp.einsum("cqlj,cl->cqj", gq, p_loc)
+        gp = jnp.einsum("qle,cej,cl->cqj", gq_ref, jinv, p_loc)
         Lu = -nu * visc + advect * jnp.einsum(
             "cqij,cqj->cqi", gu, u_q) + gp
         if form.rhs is not None:
@@ -120,12 +127,18 @@ class ShakibSUPG:
             # so inner(Lu, Lv) for test (l, i) =
             #   Lu_i (-nu lap phi_l + grad phi_l . w)
             #   + sum_j Lu_j (-nu H[l, i, j])
-            lap = jnp.einsum("cqlaa->cql", hess)
+            K = jnp.einsum("cda,cea->cde", jinv, jinv)
+            lap = jnp.einsum("qlde,cde->cql", href, K)
+            # sum_j Lu_j H_phys[l,i,j]: fold (coef, Lu, jinv_j) to a
+            # (c, q, e) factor first, then contract with href
+            cLu = jnp.einsum("cq,cqj,cej->cqe", coef, Lu, jinv)
+            hess_term = jnp.einsum("qlde,cqe,cdi->cli", href, cLu, jinv)
             rv_loc = jnp.einsum("cq,cqi,cql->cli", coef, Lu,
                                 -nu * lap + adv_test) \
-                + jnp.einsum("cq,cqj,cqlij->cli", coef, Lu, -nu * hess)
+                + (-nu) * hess_term
             # pressure rows: inner(Lu, grad q)
-            rq_loc = jnp.einsum("cq,cqj,cqlj->cl", coef, Lu, gq)
+            rq_loc = jnp.einsum("cq,cqj,qle,cej->cl", coef, Lu,
+                                gq_ref, jinv)
         return rv_loc, rq_loc
 
     def residual(self, z, params):
@@ -144,7 +157,7 @@ class ShakibSUPG:
         aux = self.aux_global(params)
         rv_loc, rq_loc = self.residual_local(
             u_loc, p_loc, w_loc, form.geom.jinv, form.geom.detj,
-            self.hess, self.gq, self.h, xq, params, aux)
+            self.h, xq, params, aux)
         if form._sum_v is not None:
             Rv = form._sum_v(rv_loc)
             Rq = (form._sum_q(rq_loc) if rq_loc is not None
@@ -198,10 +211,10 @@ class ShakibSUPG:
             xq = jnp.zeros((nc, tv.nq, form.dim), dtype=u_loc.dtype)
         return self.velocity_element_tensors_from(
             params, u_loc, p_loc, wind_loc, geom.jinv, geom.detj,
-            self.hess, self.gq, self.h, xq, aux)
+            self.h, xq, aux)
 
     def velocity_element_tensors_from(self, params, u_loc, p_loc,
-                                      wind_loc, jinv, detj, hess, gq, h,
+                                      wind_loc, jinv, detj, h,
                                       xq, aux):
         """Same per-cell Jacobians from EXPLICIT per-cell batches (the
         block-local entry point of the shard_map-distributed solver:
@@ -213,16 +226,20 @@ class ShakibSUPG:
         tv = form.tab_v
         nu, advect = params["nu"], params["advect"]
         phi, gphi, wq = tv.phi, tv.gphi, tv.w
+        href, gq_ref = self.href, self.gq_ref
         gls = self.mode == "gls"
 
-        def cell_rv(ul, pl, wl, ji, dj, hessc, gqc, hc, xqc):
+        def cell_rv(ul, pl, wl, ji, dj, hc, xqc):
             u_q = jnp.einsum("ql,ld->qd", phi, ul)
             g = jnp.einsum("qle,ej->qlj", gphi, ji)
             gu = jnp.einsum("qlj,li->qij", g, ul)
-            Hu = jnp.einsum("qlab,li->qiab", hessc, ul)
+            # physical hessian per cell from the reference tabulation
+            # (contract l first so nothing (nq, nl, d, d)-sized with a
+            # cell batch axis is ever materialised by the vmap)
+            Hu = jnp.einsum("qlde,li,da,eb->qiab", href, ul, ji, ji)
             visc = (jnp.einsum("qiaa->qi", Hu)
                     + jnp.einsum("qaia->qi", Hu))
-            gp = jnp.einsum("qlj,l->qj", gqc, pl)
+            gp = jnp.einsum("qle,ej,l->qj", gq_ref, ji, pl)
             Lu = (-nu * visc
                   + advect * jnp.einsum("qij,qj->qi", gu, u_q) + gp)
             if form.rhs is not None:
@@ -233,16 +250,18 @@ class ShakibSUPG:
             if gls:
                 w_q = jnp.einsum("ql,ld->qd", phi, wl)
                 adv_w = jnp.einsum("qlj,qj->ql", g, w_q)
-                lap = jnp.einsum("qlaa->ql", hessc)
+                K = jnp.einsum("da,ea->de", ji, ji)
+                lap = jnp.einsum("qlde,de->ql", href, K)
+                cLu = jnp.einsum("q,qj,ej->qe", coef, Lu, ji)
+                hess_term = jnp.einsum("qlde,qe,di->li", href, cLu, ji)
                 return (jnp.einsum("q,qi,ql->li", coef, Lu,
                                    -nu * lap + adv_w)
-                        + jnp.einsum("q,qj,qlij->li", coef, Lu,
-                                     -nu * hessc))
+                        + (-nu) * hess_term)
             adv_test = jnp.einsum("qlj,qj->ql", g, u_q)
             return jnp.einsum("q,qi,ql->li", coef, Lu, adv_test)
 
         J = jax.vmap(jax.jacfwd(cell_rv, argnums=0))(
-            u_loc, p_loc, wind_loc, jinv, detj, hess, gq, h, xq)
+            u_loc, p_loc, wind_loc, jinv, detj, h, xq)
         nc, nl, d = J.shape[0], J.shape[1], J.shape[2]
         return J.reshape(nc, nl * d, nl * d)
 
