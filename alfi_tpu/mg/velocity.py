@@ -363,21 +363,37 @@ class VelocityMG:
         if isinstance(tensors, dict):
             M, B = tensors["M"], tensors["B"]
             g64 = tensors["gamma"].astype(jnp.float64)
-            vloc = lev.gather_cells(v0)
-            rloc = jnp.einsum("cij,cj->ci", M, vloc)
-            if B.shape[-1] == 1:
-                # q=1 (pkp0 cell_avg): keep VPU-friendly 2D shapes —
-                # an (nc, nld, 1) operand would tile-pad 128x
-                B1 = B[:, :, 0].astype(jnp.float64)
-                d = jnp.sum(B1 * vloc.astype(jnp.float64), axis=1)
-                gpart = B1 * (g64 * d)[:, None]
+            if M.shape[-1] != nld:  # cell-minor gamma-split (t-layout)
+                vloc_t = v0[lev.rows_t]  # (nld, nc)
+                rloc_t = jnp.sum(M * vloc_t[None, :, :].astype(M.dtype),
+                                 axis=1)
+                v64_t = vloc_t.astype(jnp.float64)
+                if B.shape[0] == 1:  # q=1, stored (1, nld, nc)
+                    B1t = B[0].astype(jnp.float64)  # (nld, nc)
+                    dq = jnp.sum(B1t * v64_t, axis=0)  # (nc,)
+                    gpart_t = B1t * (g64 * dq)[None, :]
+                else:  # (q, nld, nc)
+                    B64t = B.astype(jnp.float64)
+                    dq = jnp.einsum("pic,ic->pc", B64t, v64_t)
+                    gpart_t = jnp.einsum("pic,pc->ic", B64t, g64 * dq)
+                rloc_t = rloc_t + gpart_t.astype(rloc_t.dtype)
+                rflat = lev.row_sum_t(rloc_t.astype(v.dtype))
             else:
-                B64 = B.astype(jnp.float64)
-                d = jnp.einsum("cip,ci->cp", B64,
-                               vloc.astype(jnp.float64))
-                gpart = jnp.einsum("cip,cp->ci", B64, g64 * d)
-            rloc = rloc + gpart.astype(rloc.dtype)
-            rflat = lev.sum_cells(rloc, v.dtype)
+                vloc = lev.gather_cells(v0)
+                rloc = jnp.einsum("cij,cj->ci", M, vloc)
+                if B.shape[-1] == 1:
+                    # q=1 (pkp0 cell_avg): keep VPU-friendly 2D shapes —
+                    # an (nc, nld, 1) operand would tile-pad 128x
+                    B1 = B[:, :, 0].astype(jnp.float64)
+                    d = jnp.sum(B1 * vloc.astype(jnp.float64), axis=1)
+                    gpart = B1 * (g64 * d)[:, None]
+                else:
+                    B64 = B.astype(jnp.float64)
+                    d = jnp.einsum("cip,ci->cp", B64,
+                                   vloc.astype(jnp.float64))
+                    gpart = jnp.einsum("cip,cp->ci", B64, g64 * d)
+                rloc = rloc + gpart.astype(rloc.dtype)
+                rflat = lev.sum_cells(rloc, v.dtype)
         elif tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
             vloc = v0[lev.rows_t]  # (nld, nc)
             rloc = jnp.sum(tensors * vloc[None, :, :].astype(
@@ -471,8 +487,11 @@ class VelocityMG:
         # cycle: level_apply dict form (see its docstring).  Built
         # alongside the f64 tensors, which the setup-side consumers
         # (patch factorisation, coarse assembly, diagonals) still use.
-        mixed_tensors = ([] if self.cdt != real_dtype
-                         and self.smoother == "patch" else None)
+        # Smoother-independent: _assemble_diag and the patch
+        # factorisations consume the f64 lists, so EVERY smoother gets
+        # the gamma-split stream — an all-f32 cast of nu*K + gamma*G is
+        # exactly the gamma*eps32 blow-up level_apply documents.
+        mixed_tensors = [] if self.cdt != real_dtype else None
         N_els = None
         if wb:
             params_M = dict(params)
@@ -638,6 +657,16 @@ class VelocityMG:
                  if T.shape[0] != T.shape[-1] else T)
                 for T in tensors
             ]
+            if mixed_tensors is not None:
+                # gamma-split dicts go cell-minor too: M (nld,nld,nc),
+                # B (q,nld,nc) — level_apply dispatches on M's shape
+                mixed_tensors = [
+                    ({"M": jnp.moveaxis(mt["M"], 0, -1),
+                      "B": jnp.transpose(mt["B"], (2, 1, 0)),
+                      "gamma": mt["gamma"]}
+                     if mt["M"].shape[0] != mt["M"].shape[-1] else mt)
+                    for mt in mixed_tensors
+                ]
             ftensors = [
                 (jnp.moveaxis(F, 0, -1)
                  if F is not None and F.shape[0] != F.shape[-1] else F)

@@ -392,6 +392,17 @@ class NavierStokesSolver:
 
         from .utils.events import EVENTS
 
+        # idempotent: re-timing owns these rows — zero them so a second
+        # call (e.g. performance_info then an explicit micro_events)
+        # reports fresh numbers instead of double-accumulating
+        for _name in ("PCSetUp", "MatMult", "MatFreeMatMult",
+                      "PCPATCHSolve", "KSPSolve_FS_0",
+                      "SchoeberlProlong", "SchoeberlRestrict",
+                      "prolong", "restriction", "inject", "MatSolve",
+                      "PCApply", "DGMassInv"):
+            if _name in EVENTS:
+                EVENTS[_name] = {"time": 0.0, "count": 0}
+
         vmg = self.vmg
         params = self.params()
         tstate = self._transfer_setup(params)
@@ -522,6 +533,13 @@ class NavierStokesSolver:
         measured = EVENTS["KSPSolve"]["time"]
         out = dict(EVENTS)
         if measured > 0.0:
+            # the cold (compile-carrying) first linear step is booked
+            # under JITWarmup, so `measured` covers one fewer call than
+            # the K iterations est was scaled by; shrink est by the
+            # average per-call share to compare like with like
+            ncalls = EVENTS["KSPSolve"]["count"]
+            if "JITWarmup" in EVENTS and ncalls:
+                est = est * ncalls / float(ncalls + 1)
             ratio = est / measured
             out["_consistency"] = {
                 "sum_events_s": est, "ksp_solve_s": measured,
@@ -696,9 +714,13 @@ class NavierStokesSolver:
         tstate = (self._transfer_setup(params)
                   if getattr(self, "_transfer_setup", None) is not None
                   else None)
-        residual_t = timed_function("SNESFunctionEval")(
+        # cold calls carry the XLA trace+compile: attribute them to
+        # JITWarmup so KSPSolve/SNESFunctionEval stay per-iteration
+        # quantities (the micro_events consistency ratio depends on it)
+        residual_t = timed_function("SNESFunctionEval",
+                                    first_to="JITWarmup")(
             lambda zz: self._residual_jit(zz, params))
-        linear_t = timed_function("KSPSolve")(
+        linear_t = timed_function("KSPSolve", first_to="JITWarmup")(
             lambda zz, FF: self._linear_step(zz, FF, params, tstate))
         with timed_region("SNESSolve"):
             z, ninfo = newton(

@@ -219,7 +219,125 @@ class ShakibSUPG:
         """Same per-cell Jacobians from EXPLICIT per-cell batches (the
         block-local entry point of the shard_map-distributed solver:
         each device passes its own cells' state / geometry / basis
-        hessians, no global arrays)."""
+        hessians, no global arrays).
+
+        SUPG with the Shakib coefficient (the production 3D path) uses
+        the hand-derived product-rule Jacobian in
+        :meth:`_vet_supg_analytic`: jacfwd's 42-wide tangent batch
+        through this kernel materialises O(nc*nt*nq) intermediates
+        (measured 1.8-22 GB at the ldc3d north-star shapes — the
+        round-3/4 TPU compile OOMs), while the analytic form keeps
+        every intermediate at O(nc*nq*nl) with q-contracted matmuls.
+        GLS and Turek-coefficient variants keep the jacfwd derivation
+        (their test coverage is small-mesh)."""
+        if self.mode == "supg" and type(self) is ShakibSUPG:
+            return self._vet_supg_analytic(params, u_loc, p_loc, jinv,
+                                           detj, h, xq, aux)
+        return self._vet_jacfwd(params, u_loc, p_loc, wind_loc, jinv,
+                                detj, h, xq, aux)
+
+    def _vet_supg_analytic(self, params, u_loc, p_loc, jinv, detj, h,
+                           xq, aux, chunk=2048):
+        """Analytic per-cell SUPG velocity-block Jacobian.
+
+        rv[l,i] = sum_q coef(q) Lu[q,i] at[q,l] with
+          coef = weight * w_q * detj * beta(u),
+          Lu   = -nu*(lap u + grad div u) + advect*(grad u) u + grad p
+                 (- f),
+          at   = (grad phi_l) . u_q.
+        Product rule in ul[m,n] gives five terms (A: dcoef, B1/B3:
+        delta_in viscous+advective parts, B2: basis-hessian part, B4:
+        dgu part, C: dat part); each is a q-contraction of small
+        per-cell factors — href only ever enters matmul-style products
+        over (l,e)/(d,e)/(q,.), never broadcast against the cell batch.
+        Cells are processed in static chunks to bound the peak
+        (c, q, d, l)-sized intermediates."""
+        import jax
+        from jax import lax
+
+        form = self.form
+        tv = form.tab_v
+        nu, advect = params["nu"], params["advect"]
+        phi, gphi, wq = tv.phi, tv.gphi, tv.w
+        href, gq_ref = self.href, self.gq_ref
+        weight, magic = self.weight, self.magic
+        nc = u_loc.shape[0]
+        nl = u_loc.shape[1]
+        d = form.dim
+
+        def chunk_J(args):
+            ul, pl, ji, dj, hc, xqc = args
+            u_q = jnp.einsum("ql,cld->cqd", phi, ul)
+            g = jnp.einsum("qle,cej->cqlj", gphi, ji)
+            at = jnp.einsum("cqlj,cqj->cql", g, u_q)
+            gu = jnp.einsum("cqlj,cli->cqij", g, ul)
+            K = jnp.einsum("cda,cea->cde", ji, ji)
+            lap = jnp.einsum("qlde,cde->cql", href, K)
+            lap_u = jnp.einsum("cql,cli->cqi", lap, ul)
+            v_le = jnp.einsum("cea,cla->cle", ji, ul)
+            t_qd = jnp.einsum("qlde,cle->cqd", href, v_le)
+            gdiv_u = jnp.einsum("cqd,cdi->cqi", t_qd, ji)
+            visc = lap_u + gdiv_u
+            gp = jnp.einsum("qle,cej,cl->cqj", gq_ref, ji, pl)
+            Lu = (-nu * visc
+                  + advect * jnp.einsum("cqij,cqj->cqi", gu, u_q) + gp)
+            if form.rhs is not None:
+                f_v, _ = form.rhs(xqc.reshape(-1, d), params)
+                Lu = Lu - f_v.reshape(Lu.shape)
+            wdet = wq[None, :] * dj[:, None]
+            h2 = (hc ** 2)[:, None]
+            w2 = jnp.einsum("cqd,cqd->cq", u_q, u_q)
+            beta = (4.0 * w2 / h2
+                    + magic * (4.0 * nu / h2) ** 2) ** (-0.5)
+            coef = weight * wdet * beta  # (c, q)
+            # dcoef[q,(m,n)] = s[q] u_q[q,n] phi[q,m],
+            # s = -4 coef beta^2 / h^2   (d beta = -4 beta^3 u_n/h^2)
+            s = -4.0 * coef * beta ** 2 / h2
+
+            # A: dcoef term
+            T = jnp.einsum("cq,cqi,cql->cqil", s, Lu, at)
+            S = jnp.einsum("cqn,qm->cqnm", u_q, phi)
+            J = jnp.einsum("cqil,cqnm->climn", T, S)
+            # B1+B3: delta_in (viscous-laplacian + advective) parts
+            W = coef[:, :, None] * (-nu * lap + advect * at)
+            D = jnp.einsum("cqm,cql->clm", W, at)
+            J = J + D[:, :, None, :, None] * jnp.eye(
+                d, dtype=J.dtype)[None, None, :, None, :]
+            # B2: basis-hessian part -nu sum_q coef H_phys[q,m,i,n] at[q,l]
+            Wc = coef[:, :, None] * at  # (c, q, l)
+            X = jnp.einsum("qmde,cql->cmdel", href, Wc)
+            J = J + (-nu) * jnp.einsum("cmdel,cdi,cen->climn",
+                                       X, ji, ji)
+            # B4: dgu part  advect sum_q coef gu[q,i,n] at[q,l] phi[q,m]
+            G = advect * coef[:, :, None, None] * gu  # (c, q, i, n)
+            T4 = jnp.einsum("cqin,cql->cqinl", G, at)
+            J = J + jnp.einsum("cqinl,qm->climn", T4, phi)
+            # C: dat part  sum_q coef Lu[q,i] g[q,l,n] phi[q,m]
+            T5 = jnp.einsum("cq,cqi,cqln->cqiln", coef, Lu, g)
+            J = J + jnp.einsum("cqiln,qm->climn", T5, phi)
+            return J  # (c, l, i, m, n)
+
+        if nc <= chunk:
+            J = chunk_J((u_loc, p_loc, jinv, detj, h, xq))
+        else:
+            nch = -(-nc // chunk)
+            npad = nch * chunk - nc
+
+            def pad(a, fill=0.0):
+                cfg = [(0, npad)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, cfg, constant_values=fill)
+
+            args = (pad(u_loc), pad(p_loc), pad(jinv), pad(detj),
+                    pad(h, 1.0), pad(xq))
+            args = jax.tree_util.tree_map(
+                lambda a: a.reshape((nch, chunk) + a.shape[1:]), args)
+            J = lax.map(chunk_J, args)
+            J = J.reshape((nch * chunk,) + J.shape[2:])[:nc]
+        return J.reshape(nc, nl * d, nl * d)
+
+    def _vet_jacfwd(self, params, u_loc, p_loc, wind_loc, jinv, detj,
+                    h, xq, aux):
+        """jacfwd-derived per-cell Jacobians (GLS / Turek paths)."""
         import jax
 
         form = self.form
@@ -233,12 +351,21 @@ class ShakibSUPG:
             u_q = jnp.einsum("ql,ld->qd", phi, ul)
             g = jnp.einsum("qle,ej->qlj", gphi, ji)
             gu = jnp.einsum("qlj,li->qij", g, ul)
-            # physical hessian per cell from the reference tabulation
-            # (contract l first so nothing (nq, nl, d, d)-sized with a
-            # cell batch axis is ever materialised by the vmap)
-            Hu = jnp.einsum("qlde,li,da,eb->qiab", href, ul, ji, ji)
-            visc = (jnp.einsum("qiaa->qi", Hu)
-                    + jnp.einsum("qaia->qi", Hu))
+            # div(2 sym grad u)_i = lap u_i + d_i(div u) from the
+            # REFERENCE hessian tabulation.  Every contraction below
+            # keeps href in matmul-style products over (l,e)/(d,e) —
+            # under jacfwd's 42-wide tangent batch the naive
+            # "qlde,li,da,eb->qiab" form makes XLA broadcast href over
+            # (cells x tangents), a ~19 GB tiled intermediate that
+            # OOM'd the ldc3d north-star compile; these staged forms
+            # keep every tangent intermediate at (t, q, d)-size.
+            K = jnp.einsum("da,ea->de", ji, ji)
+            lap = jnp.einsum("qlde,de->ql", href, K)  # ul-independent
+            lap_u = jnp.einsum("ql,li->qi", lap, ul)
+            v_le = jnp.einsum("ea,la->le", ji, ul)
+            t_qd = jnp.einsum("qlde,le->qd", href, v_le)
+            graddiv_u = jnp.einsum("qd,di->qi", t_qd, ji)
+            visc = lap_u + graddiv_u
             gp = jnp.einsum("qle,ej,l->qj", gq_ref, ji, pl)
             Lu = (-nu * visc
                   + advect * jnp.einsum("qij,qj->qi", gu, u_q) + gp)
@@ -250,10 +377,9 @@ class ShakibSUPG:
             if gls:
                 w_q = jnp.einsum("ql,ld->qd", phi, wl)
                 adv_w = jnp.einsum("qlj,qj->ql", g, w_q)
-                K = jnp.einsum("da,ea->de", ji, ji)
-                lap = jnp.einsum("qlde,de->ql", href, K)
                 cLu = jnp.einsum("q,qj,ej->qe", coef, Lu, ji)
-                hess_term = jnp.einsum("qlde,qe,di->li", href, cLu, ji)
+                A_ld = jnp.einsum("qlde,qe->ld", href, cLu)
+                hess_term = jnp.einsum("ld,di->li", A_ld, ji)
                 return (jnp.einsum("q,qi,ql->li", coef, Lu,
                                    -nu * lap + adv_w)
                         + (-nu) * hess_term)

@@ -89,6 +89,18 @@ def main(nref=2):
         chain_time(lambda r: papply(lufac, r), r0) * 1e3, 3))
 
     tensors = state["tensors"][L]
+    if isinstance(tensors, dict):
+        # gamma-split mixed-precision state (mg_dtype=f32): the leaf
+        # timings below want ONE dense per-cell tensor; rebuild the
+        # summed batch-major operator for the f32/f64 core comparison
+        M64 = tensors["M"].astype(jnp.float64)
+        B64 = tensors["B"].astype(jnp.float64)
+        nld = lev.rows.shape[1]
+        if M64.shape[-1] != nld:  # cell-minor (t-layout) state
+            M64 = jnp.moveaxis(M64, -1, 0)
+            B64 = jnp.transpose(B64, (2, 1, 0))
+        tensors = (M64 + tensors["gamma"].astype(jnp.float64)
+                   * jnp.einsum("cip,cjp->cij", B64, B64))
     ften = state["ftensors"][L]
     emit(out, "level_apply_ms", round(chain_time(
         lambda v: vmg.level_apply(L, tensors, v, ftensors=ften),

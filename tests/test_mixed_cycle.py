@@ -131,6 +131,54 @@ def test_gamma_split_preserves_cancellation(f32_cycle):
     assert err_sum > 30 * err_split
 
 
+def test_gamma_split_with_jacobi_smoother(f32_cycle):
+    """The gamma-split stream is smoother-independent: a jacobi-
+    smoothed f32 cycle must store dicts too (an all-f32 cast of
+    nu K + gamma G is the documented gamma*eps32 blow-up)."""
+    from alfi_tpu.graddiv import GradDivSolver
+
+    gd = GradDivSolver(dim=2, baseN=4, nref=1, k=2, smoother="jacobi",
+                       hierarchy="uniform")
+    params = {"nu": jnp.asarray(1.0, dtype=real_dtype),
+              "gamma": jnp.asarray(1e4, dtype=real_dtype),
+              "advect": jnp.asarray(0.0, dtype=real_dtype)}
+    zero_u = jnp.zeros((gd.form.V.ndof, gd.d), dtype=real_dtype)
+    state = gd.vmg.setup(zero_u, params)
+    L = gd.vmg.nlevels - 1
+    tens = state["tensors"][L]
+    assert isinstance(tens, dict), \
+        "jacobi f32 cycle must store gamma-split dicts"
+    assert tens["M"].dtype == jnp.float32
+    # and the diagonals were still assembled from the f64 sum
+    assert state["patch_lufacs"][L - 1].ndim == 1
+
+
+def test_gamma_split_transposed_apply(f32_cycle, monkeypatch):
+    """ALFI_TPU_LEVEL_APPLY=t + mg_dtype=f32: the dict parts are stored
+    cell-minor and the transposed dict branch of level_apply matches
+    the batch-major one exactly in structure / to f32 accuracy."""
+    monkeypatch.setenv("ALFI_TPU_LEVEL_APPLY", "t")
+    st = _solver()
+    state_t, params = _setup_state(st)
+    vmg = st.vmg
+    L = vmg.nlevels - 1
+    lev = vmg.levels[L]
+    tens = state_t["tensors"][L]
+    assert isinstance(tens, dict)
+    nld = lev.rows.shape[1]
+    assert tens["M"].shape[-1] != nld, "dict M must be cell-minor"
+
+    K_el, G_el = lev.form._static_velocity_tensors()
+    T64 = params["nu"] * K_el + params["gamma"] * G_el
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal((lev.V.ndof, vmg.d)))
+    y64 = vmg.level_apply(L, T64, v)
+    y32 = vmg.level_apply(L, tens, v.astype(jnp.float32))
+    rel = float(jnp.linalg.norm(y32.astype(jnp.float64) - y64)
+                / jnp.linalg.norm(y64))
+    assert rel < 1e-5
+
+
 @pytest.mark.slow
 def test_f32_cycle_iteration_parity():
     res = [1, 10, 100, 1000]

@@ -100,3 +100,37 @@ def test_supg_velocity_tensors_match_jvp():
         scale = float(jnp.max(jnp.abs(jv))) + 1e-30
         err = float(jnp.max(jnp.abs(act - jv))) / scale
         assert err < 1e-9, (method, kind, err)
+
+
+def test_supg_analytic_jacobian_chunked_matches_unchunked():
+    """The cell-chunked analytic SUPG Jacobian (the memory-bounded path
+    the 3D production meshes take) must agree with the single-chunk
+    evaluation exactly, including the padded tail chunk."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alfi_tpu import ConstantPressureSolver
+    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+    s = ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(4), nref=1, k=2,
+        solver_type="almg", hierarchy="uniform",
+        stabilisation_type="supg", verbose=False)
+    s.advect_val, s.nu_val = 1.0, 0.05
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(s.z[0].shape))
+    p = jnp.asarray(rng.standard_normal(s.z[1].shape))
+    params = s.params()
+    impl = s.stabilisation.impl
+    form = s.form
+    ul = u[jnp.asarray(form.V.cell_dofs)]
+    pl = p[jnp.asarray(form.Q.cell_dofs)]
+    geom = form.geom
+    nc = ul.shape[0]
+    xq = jnp.zeros((nc, form.tab_v.nq, form.dim), dtype=ul.dtype)
+    args = (params, ul, pl, geom.jinv, geom.detj, impl.h, xq, 0.0)
+    J_one = impl._vet_supg_analytic(*args, chunk=nc + 1)
+    # chunk that does NOT divide nc: exercises the zero-padded tail
+    J_chunked = impl._vet_supg_analytic(*args, chunk=48)
+    assert np.allclose(np.asarray(J_one), np.asarray(J_chunked),
+                       rtol=0, atol=1e-12)
