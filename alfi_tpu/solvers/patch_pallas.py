@@ -43,17 +43,19 @@ def _block_patches(m):
     return 256
 
 
-def _gemv_kernel(a_ref, r_ref, o_ref):
-    # accumulate in the output dtype (f32) regardless of the stored
-    # factor dtype, so bf16 factors halve the HBM stream without
-    # compounding rounding in the j-sum
-    m = a_ref.shape[0]
+def _gemv_kernel(m, a_ref, r_ref, o_ref):
+    # a_ref is the (m*m, B) flattening of (m, m, B): row i*m+j holds
+    # inv[i, j, :].  Accumulate in the output dtype (f32) regardless of
+    # the stored factor dtype, so bf16 factors halve the HBM stream
+    # without compounding rounding in the j-sum.
     dt = o_ref.dtype
-    acc = a_ref[:, 0, :].astype(dt) * r_ref[0:1, :].astype(dt)
-    for j in range(1, m):
-        acc = acc + (a_ref[:, j, :].astype(dt)
-                     * r_ref[j : j + 1, :].astype(dt))
-    o_ref[:] = acc
+    r = r_ref[:].astype(dt)  # (m, B)
+    rows = [
+        jnp.sum(a_ref[i * m:(i + 1) * m, :].astype(dt) * r,
+                axis=0, keepdims=True)
+        for i in range(m)
+    ]
+    o_ref[:] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,17 +69,26 @@ def _apply_padded(fac, rp, interpret):
     ms = {} if interpret else {"memory_space": pltpu.VMEM}
     out_dtype = (jnp.float32 if fac.dtype == jnp.bfloat16
                  else fac.dtype)
+    # The round-3 Mosaic "failed to legalize 'func.return'" was the
+    # index maps: under jax_enable_x64 the literal 0 lowers as an i64
+    # constant next to the i32 program id, and Mosaic refuses the mixed
+    # return.  Pin every index-map component to i32.
+    def imap(i):
+        # i * 0, not the literal 0: index maps may not capture traced
+        # constants, and a Python 0 lowers as i64 under x64
+        return (i * 0, i)
+
     return pl.pallas_call(
-        _gemv_kernel,
+        functools.partial(_gemv_kernel, m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, m, B), lambda i: (0, 0, i), **ms),
-            pl.BlockSpec((m, B), lambda i: (0, i), **ms),
+            pl.BlockSpec((m * m, B), imap, **ms),
+            pl.BlockSpec((m, B), imap, **ms),
         ],
-        out_specs=pl.BlockSpec((m, B), lambda i: (0, i), **ms),
+        out_specs=pl.BlockSpec((m, B), imap, **ms),
         out_shape=jax.ShapeDtypeStruct((m, npad), out_dtype),
         interpret=interpret,
-    )(fac, rp)
+    )(fac.reshape(m * m, npad), rp)
 
 
 def pad_patch_axis(fac):

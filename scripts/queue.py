@@ -137,7 +137,100 @@ def r3cpu():
     return st
 
 
-QUEUES = {"r3tpu": r3tpu, "r3cpu": r3cpu}
+# ---------------------------------------------------------------------
+# Round-4 queues (VERDICT r3 "Next round" items 1-4, 6): the north star
+# first (its round-3 blocker — the jacfwd SUPG-Jacobian OOM — is fixed
+# by the analytic element Jacobian), then the f32-cycle acceptance
+# gate, then the untouched production families and the scale rows.
+# ---------------------------------------------------------------------
+
+
+def r4tpu():
+    st = []
+    # 1. north star: ldc3d [P2+FB]^3-P0 SUPG almg, Re -> 5000
+    # (reference: examples/generate_submission:12-23)
+    cmd, need = iters(
+        "ldc3d", 52, nref_start=1, nref_end=1, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=5000)
+    st.append(_stage("ns1", "ldc3d_p2fb_nref1_re5000.log", cmd,
+                     need=need, timeout=21600))
+    # 2. f32 MG-cycle acceptance gate: ldc2d nref=2 Re->10000 with the
+    # gamma-split f32 cycle; pass = Krylov counts match the f64 table
+    # (results/README.md nref=2 row) within ~10% (VERDICT item 2)
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=2, nref_end=2, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=10000)
+    st.append(_stage("f32g", "iters_ldc2d_nref2_re10000_f32.log", cmd,
+                     need=need, timeout=21600,
+                     env={"ALFI_TPU_MG_DTYPE": "f32"}))
+    # 3. finish the refinement axis: nref=3 resume (23/101 done in
+    # checkpoint_c3), then the first nref=4 rows
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=10000)
+    st.append(_stage("c3", "iters_ldc2d_nref3_re10000.log", cmd,
+                     need=need, timeout=21600))
+    # 4. sv_ldc3d production family (k=3 bary macrostar Burman,
+    # generate_submission:71-87)
+    cmd, need = iters(
+        "ldc3d", 7, nref_start=1, nref_end=1, baseN=2, k=3,
+        solver_type="almg", discretisation="sv", mh="bary",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        patch="macro", smoothing=10, restriction=True, re_max=500)
+    st.append(_stage("f1", "sv_ldc3d_k3_nref1_re500.log", cmd,
+                     need=need, timeout=14400))
+    # 5. p1fb_bfs3d production family — the first end-to-end
+    # [P1+FB]^3 continuation (generate_submission:26-37)
+    cmd, need = iters(
+        "bfs3d", 11, mesh="tests/fixtures/bfs3d_coarse55.msh",
+        nref_start=1, nref_end=1, baseN=0, k=1, solver_type="almg",
+        discretisation="pkp0", mh="uniform", stabilisation_type="supg",
+        stabilisation_weight=0.05, patch="star", smoothing=10,
+        restriction=True, re_max=500)
+    st.append(_stage("f2", "bfs3d_p1fb_coarse55_re500.log", cmd,
+                     need=need, timeout=14400))
+    # 6. 3D scale row: ldc3d [P2+FB]^3 nref=2 (~256k dofs)
+    cmd, need = iters(
+        "ldc3d", 7, nref_start=2, nref_end=2, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=500)
+    st.append(_stage("f3", "ldc3d_p2fb_nref2_re500.log", cmd,
+                     need=need, timeout=21600))
+    # 7. nref=4 2D row (657k dofs; round-3 setup crash = the same
+    # jacfwd blow-up the analytic Jacobian fixes)
+    cmd, need = iters(
+        "ldc2d", 9, nref_start=4, nref_end=4, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=1000)
+    st.append(_stage("c4", "iters_ldc2d_nref4_re1000.log", cmd,
+                     need=need, timeout=21600))
+    return st
+
+
+def r4cpu():
+    """dfg reference-ladder table (VERDICT item 6): iteration counts
+    are platform-independent; runs niced on the host CPU."""
+    st = []
+    cmd = [sys.executable, "examples/dfg.py", "--checkpoint",
+           "--nref", "1", "--k", "2", "--solver-type", "almg",
+           "--discretisation", "pkp0", "--mh", "uniform",
+           "--stabilisation-type", "supg", "--patch", "star",
+           "--restriction", "--re-max", "500"]
+    st.append(_stage("dfg2", "dfg_pkp0_nref1_re500.log", cmd, need=8,
+                     timeout=43200, platform="cpu"))
+    return st
+
+
+QUEUES = {"r3tpu": r3tpu, "r3cpu": r3cpu, "r4tpu": r4tpu,
+          "r4cpu": r4cpu}
 
 
 # ---------------------------------------------------------------------
@@ -175,17 +268,21 @@ def solves_in_current_attempt(log):
 def run_stage(s):
     name = s["name"]
     done = os.path.join(LOGS, ".done_" + name)
-    if os.path.exists(done):
-        return True
-    if s["platform"] == "tpu":
+    failed = os.path.join(LOGS, ".failed_" + name)
+    cpu_flip = os.path.join(LOGS, ".cpu_" + name)
+    if os.path.exists(done) or os.path.exists(failed):
+        return os.path.exists(done)
+    platform = ("cpu" if os.path.exists(cpu_flip) else s["platform"])
+    if platform == "tpu":
         wait_tpu()
     log = os.path.join(LOGS, s["log"])
     with open(log, "a") as f:
-        f.write("%s %s %s\n" % (MARKER, name,
-                                time.strftime("%F %T", time.gmtime())))
+        f.write("%s %s %s [%s]\n" % (
+            MARKER, name, time.strftime("%F %T", time.gmtime()),
+            platform))
     env = dict(os.environ, **s["env"])
     cmd = [SNAP, name] + s["cmd"]
-    if s["platform"] == "cpu":
+    if platform == "cpu":
         env["ALFI_TPU_FORCE_CPU"] = "1"
         # force-override: the session env pins JAX_PLATFORMS to the
         # TPU backend, and setdefault silently left CPU stages on TPU
@@ -213,7 +310,45 @@ def run_stage(s):
         open(os.path.join(LOGS, ".partial_" + name), "w").write(
             "%d/%d solves (this attempt: %d)\n"
             % (total, s["need"], solves))
+    _triage(s, platform, total)
     return False
+
+
+STREAK_LIMIT = 3
+
+
+def _triage(s, platform, total):
+    """No-progress triage (VERDICT r3 weak #5: the dfg stage burned 20
+    identical retries against one compile failure).  A failure streak
+    is an attempt that adds NO new converged Re row; at STREAK_LIMIT a
+    TPU stage is flipped to the CPU backend (iteration counts are
+    platform-independent), and a CPU stage is marked .failed_<name> and
+    skipped from then on — loudly, so the round report shows it."""
+    name = s["name"]
+    streak_file = os.path.join(LOGS, ".streak_" + name)
+    streak, last_total = 0, -1
+    try:
+        streak, last_total = map(int, open(streak_file).read().split())
+    except (OSError, ValueError):
+        pass
+    streak = 0 if total > last_total else streak + 1
+    open(streak_file, "w").write("%d %d\n" % (streak, total))
+    if streak < STREAK_LIMIT:
+        return
+    cpu_flip = os.path.join(LOGS, ".cpu_" + name)
+    if platform == "tpu":
+        open(cpu_flip, "w").write(
+            "flipped to cpu after %d no-progress attempts\n" % streak)
+        open(streak_file, "w").write("0 %d\n" % total)
+        print("[queue] stage %s: %d no-progress TPU attempts -> "
+              "SWITCHING TO CPU BACKEND" % (name, streak), flush=True)
+    else:
+        open(os.path.join(LOGS, ".failed_" + name), "w").write(
+            "abandoned after %d no-progress attempts on %s\n"
+            % (streak, platform))
+        print("[queue] stage %s: %d no-progress attempts on %s -> "
+              "ABANDONED (.failed_%s)" % (name, streak, platform, name),
+              flush=True)
 
 
 def solves_in_current_attempt_all(log):
@@ -249,8 +384,11 @@ def main():
         return
     os.makedirs(LOGS, exist_ok=True)
     for rnd in range(1, args.max_rounds + 1):
-        pending = [s for s in stages if not os.path.exists(
-            os.path.join(LOGS, ".done_" + s["name"]))]
+        pending = [s for s in stages
+                   if not os.path.exists(
+                       os.path.join(LOGS, ".done_" + s["name"]))
+                   and not os.path.exists(
+                       os.path.join(LOGS, ".failed_" + s["name"]))]
         print("[queue %s] round %d: %d pending" %
               (args.queue, rnd, len(pending)), flush=True)
         if not pending:
