@@ -17,6 +17,14 @@ import jax
 if os.environ.get("ALFI_TPU_X64", "1") == "1":
     jax.config.update("jax_enable_x64", True)
 
+# Backend forcing must happen HERE, not via plain env vars: the runtime
+# image's sitecustomize registers the TPU plugin at interpreter start,
+# so JAX_PLATFORMS set by a parent process is too late for harnesses
+# that don't do the config-update dance themselves (observed: "[cpu]"
+# queue stages OOM-ing the TPU compile helper, queue_r4cpu round 1-3).
+if os.environ.get("ALFI_TPU_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the solver programs are large (minutes of
 # XLA time on TPU) and identical across processes/runs
 if os.environ.get("ALFI_TPU_COMPILE_CACHE", "1") == "1":

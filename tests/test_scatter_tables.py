@@ -44,3 +44,38 @@ def test_empty_rows():
     gs = make_gather_sum(idx, 4)
     out = np.asarray(gs(jnp.asarray([[2.0, 3.0, 4.0]])))
     assert np.allclose(out, [0.0, 9.0, 0.0, 0.0])
+
+
+def test_bucketed_gather_sum_matches_padded_table():
+    """The multiplicity-bucketed formulation must be BITWISE equal to
+    the padded (nout, mu) table (same stable per-row summation order),
+    including zero-contribution rows and dropped padding indices."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alfi_tpu.utils.scatter import make_gather_sum
+
+    rng = np.random.default_rng(11)
+    nout, nin = 700, 601
+    idx = rng.integers(-1, nout + 2, size=(nin,))  # incl. pad entries
+    vals = jnp.asarray(rng.standard_normal((nin, 3)))
+
+    os.environ["ALFI_TPU_BUCKETED_SUM"] = "0"
+    try:
+        padded = make_gather_sum(idx, nout)
+    finally:
+        del os.environ["ALFI_TPU_BUCKETED_SUM"]
+    bucketed = make_gather_sum(idx, nout)
+    assert not padded.bucketed
+    assert bucketed.bucketed, (bucketed.mu,)
+    a = np.asarray(padded(vals))
+    b = np.asarray(bucketed(vals))
+    assert np.array_equal(a, b)
+
+    # reference semantics: scatter-add with drops
+    ref = np.zeros((nout, 3))
+    ok = (idx >= 0) & (idx < nout)
+    np.add.at(ref, idx[ok], np.asarray(vals)[ok])
+    assert np.allclose(a, ref, rtol=0, atol=1e-12)
