@@ -119,6 +119,14 @@ def performance_info(solver):
                                                     ndofs)))
 
 
+def _numbering_tag():
+    """Entity-numbering fingerprint stored in checkpoints: dof vectors
+    are meaningless under a different numbering (mesh/renumber.py)."""
+    from .mesh.renumber import geom_numbering_enabled
+
+    return "geom1" if geom_numbering_enabled() else "legacy0"
+
+
 def run_solver(solver, res, args):
     problemsize = solver.Z.dim
     outdir = "output/%i/" % problemsize
@@ -140,6 +148,17 @@ def run_solver(solver, res, args):
                     # legacy checkpoint of a DIVERGED solve (pre-fix
                     # runs stored them): retry instead of loading
                     raise KeyError("diverged checkpoint")
+                stored_numbering = (str(chk["numbering"])
+                                    if "numbering" in chk.files
+                                    else "legacy0")
+                if stored_numbering != _numbering_tag():
+                    # dof vectors are permutation-laid-out: loading a
+                    # checkpoint written under a different entity
+                    # numbering would silently scramble the state
+                    # (scripts/convert_checkpoints.py migrates)
+                    raise KeyError("numbering mismatch: %s != %s"
+                                   % (stored_numbering,
+                                      _numbering_tag()))
                 solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
                 # checkpoints carry the solve's info dict so resumed
                 # sweeps reproduce the TRUE iteration/time tables; old
@@ -162,6 +181,7 @@ def run_solver(solver, res, args):
             # with poisoned state instead of retrying it
             if args.checkpoint and info_dict.get("converged", True):
                 np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]),
+                         numbering=_numbering_tag(),
                          **{k: info_dict[k] for k in
                             ("nu", "linear_iter", "nonlinear_iter",
                              "time", "converged") if k in info_dict})

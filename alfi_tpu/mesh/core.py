@@ -115,6 +115,18 @@ class Mesh:
         cell_facets_verts = self.cells[:, keep]  # (nc, d+1, d)
         flat = _sorted_rows(cell_facets_verts.reshape(nc * (d + 1), d))
         facets, inverse = _row_unique_inverse(flat)
+        if d == 2:
+            # geometric edge order: on structured grids this blocks the
+            # three edge families into contiguous lex planes, making
+            # patch index tables sliceable (mesh/renumber.py docstring)
+            from .renumber import facet_geom_perm, geom_numbering_enabled
+
+            if geom_numbering_enabled():
+                perm = facet_geom_perm(self.vertices, facets)
+                rank = np.empty(perm.size, dtype=inverse.dtype)
+                rank[perm] = np.arange(perm.size, dtype=inverse.dtype)
+                facets = facets[perm]
+                inverse = rank[inverse]
         self.facet_vertices = facets.astype(index_dtype)  # (nf, d) sorted
         self.num_facets = facets.shape[0]
         # cell -> facet index map, (nc, d+1)

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import index_dtype
 from .core import Mesh, _sorted_rows, match_rows
+from .renumber import geom_numbering_enabled, vertex_lex_perm
 
 
 def _transfer_facet_data(coarse, fine, child_facet_verts, parent_facet_idx,
@@ -71,6 +72,7 @@ def refine_uniform(mesh: Mesh) -> Mesh:
         )  # (nc, 4, 3)
         fine_cells = children.reshape(-1, 3)
         n_children = 4
+        renumber = geom_numbering_enabled()
     elif d == 3:
         mids = mesh.vertices[mesh.edge_vertices].mean(axis=1)
         verts = np.vstack([mesh.vertices, mids])
@@ -94,8 +96,22 @@ def refine_uniform(mesh: Mesh) -> Mesh:
         )  # (nc, 8, 4)
         fine_cells = children.reshape(-1, 4)
         n_children = 8
+        renumber = False
     else:
         raise NotImplementedError(d)
+
+    if renumber:
+        # lexicographic fine-vertex order: on structured grids the
+        # refined vertex grid becomes a contiguous (y, x) plane, the
+        # enabler for the sliced patch smoother (mesh/renumber.py);
+        # ``vmap`` remaps any OLD fine vertex id (child facet tuples)
+        perm = vertex_lex_perm(verts)
+        vmap_ = np.empty(perm.size, dtype=fine_cells.dtype)
+        vmap_[perm] = np.arange(perm.size, dtype=fine_cells.dtype)
+        verts = verts[perm]
+        fine_cells = vmap_[fine_cells]
+    else:
+        vmap_ = None
 
     fine = Mesh(verts, fine_cells, name=mesh.name)
     fine.level = mesh.level + 1
@@ -133,6 +149,8 @@ def refine_uniform(mesh: Mesh) -> Mesh:
             ]
         )
         parents = np.tile(np.arange(mesh.num_facets, dtype=index_dtype), 4)
+    if vmap_ is not None:
+        child_fv = vmap_[child_fv]
     _transfer_facet_data(mesh, fine, child_fv, parents, fine.level)
     fine.macro_vertices = np.ones(fine.num_vertices, dtype=bool)
     return fine

@@ -1,0 +1,79 @@
+"""Geometric (lexicographic) entity numbering — the TPU fast-path enabler.
+
+TPU gathers cost ~8-16 cycles per fetched row regardless of width
+(results/logs/gather_microbench.log), so table-driven FEM index ops run
+two orders of magnitude under the HBM roofline.  The escape hatch is
+STRUCTURE: on the generated benchmark meshes (uniformly refined
+structured triangulations — ldc2d, the bench protocol, the headline
+robustness sweeps) a lexicographic entity numbering makes every patch-
+smoother index table AFFINE in the seed-grid coordinates, so the hot
+gather/scatter becomes dense strided slices at full HBM bandwidth
+(mg/structured.py).
+
+This module provides the numbering itself, applied mesh-wide:
+
+* vertices sorted by (y, x) — resp. (z, y, x) — of their coordinates;
+* 2D facets (= edges) sorted by (direction class, y_mid, x_mid), which
+  on a structured grid groups the three edge families (horizontal,
+  vertical, diagonal) into contiguous lex-ordered plane blocks.
+
+The numbering is a pure permutation: every consumer in the repo
+(element tables, BC facet markers, transfer point location, patch
+construction, distributed decomposition) is numbering-agnostic, so
+correctness is unaffected; only the EXPLOITABILITY of the index tables
+changes.  It deliberately applies to ANY 2D mesh (gmsh imports
+included) — unstructured meshes simply get a deterministic geometric
+order that downstream structure detection (mg/structured.py) declines.
+
+Gated by ALFI_TPU_GEOM_NUMBERING (default on).  Replaces no reference
+component: Firedrake/PETSc renumber for cache locality via DMPlex
+permutations (the reference inherits that); here the same hook is used
+to expose slice structure to XLA instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def geom_numbering_enabled():
+    return os.environ.get("ALFI_TPU_GEOM_NUMBERING", "1") == "1"
+
+
+def vertex_lex_perm(vertices):
+    """new-order list: ``perm[k]`` = old id of the k-th vertex in
+    (y, x) / (z, y, x) lexicographic coordinate order (ties broken by
+    old id, so the permutation is deterministic)."""
+    v = np.asarray(vertices)
+    keys = tuple(v[:, i] for i in range(v.shape[1]))  # x fastest
+    return np.lexsort((np.arange(v.shape[0]),) + keys)
+
+
+def renumber_vertices(vertices, cells, perm, *extra_vertex_tuples):
+    """Apply a vertex permutation: returns (vertices2, cells2,
+    *remapped extras).  ``perm`` is new-order->old-id (from
+    vertex_lex_perm); extras are arrays of OLD vertex ids of any shape
+    (e.g. refine's child facet tuples)."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    out = [vertices[perm], inv[cells]]
+    for t in extra_vertex_tuples:
+        out.append(inv[np.asarray(t)])
+    return tuple(out)
+
+
+def facet_geom_perm(vertices, facet_vertices):
+    """new-order list for 2D facets (= edges): sort by (direction
+    class, y_mid, x_mid).  The direction class is the edge angle folded
+    to [0, pi) and rounded — on a structured grid this yields exactly
+    one contiguous, lex-ordered block per edge family."""
+    fv = np.asarray(facet_vertices)
+    a = vertices[fv[:, 0]]
+    b = vertices[fv[:, 1]]
+    d = b - a
+    ang = np.round(np.arctan2(d[:, 1], d[:, 0]) % np.pi, 9)
+    mid = 0.5 * (a + b)
+    return np.lexsort((np.arange(fv.shape[0]), mid[:, 0], mid[:, 1],
+                       ang))

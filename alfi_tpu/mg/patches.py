@@ -20,6 +20,8 @@ ndof of an (ndof+1)-sized vector) so every shape is static.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import index_dtype
@@ -515,7 +517,9 @@ def make_patch_factor_parts(patchset):
 
     from ..solvers.batched_lu import get_factorization
 
-    fs = get_factorization("patch")
+    # the apply closure (build_patch_solver) picks the factor layout
+    # (batch-major vs the structured patch-minor); reuse it
+    fs = getattr(patchset, "_fs", None) or get_factorization("patch")
 
     def factor_parts(static, N_el, params):
         A = (params["nu"] * static["K"] + params["gamma"] * static["G"]
@@ -616,6 +620,28 @@ def _gather_scatter(patchset, transposed=False):
     return gather, scatter
 
 
+def _structured_fs():
+    """Patch-minor factorisation for the sliced apply: respects the
+    ALFI_TPU_PATCH_APPLY dtype/pallas choice but forces the transposed
+    (m, m, np) layout the slice gather produces.  None when the active
+    factorisation has no patch-minor form (CPU native LU)."""
+    from ..solvers.batched_lu import (
+        _ExplicitInverseFactorization,
+        get_factorization,
+    )
+
+    base = get_factorization("patch")
+    if getattr(base, "batch_axis", 0) == -1:
+        return base
+    if isinstance(base, _ExplicitInverseFactorization):
+        return _ExplicitInverseFactorization(
+            base.apply_dtype, transposed=True,
+            use_pallas=base.use_pallas)
+    # CPU native-LU base (no patch-minor form): explicit f64 inverses,
+    # the same construction the TPU default uses
+    return _ExplicitInverseFactorization(None, transposed=True)
+
+
 def build_patch_solver(patchset):
     """Device closures over a PatchSet:
 
@@ -623,9 +649,41 @@ def build_patch_solver(patchset):
                                       matrices (platform-appropriate)
     apply(fac, r_flat (ndft,))     -> additive-Schwarz application
     """
+    import jax
+
     from ..solvers.batched_lu import get_factorization
+    from . import structured
+
+    # sliced fast path: affine patch tables on structured meshes turn
+    # the gather/scatter into dense slices (mg/structured.py).  On CPU
+    # the production factorisation is the native LU (no patch-minor
+    # form) and gathers are cheap — opt in explicitly there.
+    want_struct = (structured.struct_patch_enabled()
+                   and (jax.default_backend() != "cpu"
+                        or os.environ.get("ALFI_TPU_STRUCT_PATCH")
+                        == "1"))
+    if want_struct:
+        layout = structured.detect(patchset)
+        fs_t = _structured_fs() if layout is not None else None
+        if layout is not None and fs_t is not None:
+            structured.reorder_patchset(patchset, layout.order)
+            gather, scatter = structured.gather_scatter(patchset,
+                                                        layout)
+            fs = fs_t
+            patchset._fs = fs
+
+            def factor(tensors):
+                return fs.factor(
+                    assemble_patch_matrices(patchset, tensors))
+
+            def apply(lufac, r_flat):
+                xp = fs.solve_t(lufac, gather(r_flat))
+                return scatter(xp, r_flat.dtype)
+
+            return factor, apply
 
     fs = get_factorization("patch")
+    patchset._fs = fs
     transposed = getattr(fs, "batch_axis", 0) == -1
     gather, scatter = _gather_scatter(patchset, transposed=transposed)
     fsolve = fs.solve_t if transposed else fs.solve
