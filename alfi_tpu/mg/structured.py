@@ -172,8 +172,19 @@ def gather_scatter(patchset, layout):
     nflat = patchset.nflat
     nb = patchset.npatches - ni
     if nb:
-        dofs_b = jnp.asarray(patchset.dofs[ni:])  # (nb, m), pad=nflat
-        bsum = make_gather_sum(patchset.dofs[ni:], nflat)
+        dofs_b_np = patchset.dofs[ni:]  # (nb, m), pad = nflat
+        dofs_b = jnp.asarray(dofs_b_np)
+        active_b = jnp.asarray(patchset.active[ni:])
+        # compact the boundary scatter: a gather-sum with nout=nflat
+        # would pay a permutation gather over the WHOLE vector for a
+        # fringe that touches ~1% of it (measured 3 ms at nref=3);
+        # instead sum into the ~nbd touched dofs and do ONE small
+        # sorted-unique scatter-add
+        bd = np.unique(dofs_b_np[dofs_b_np < nflat])
+        pos = np.searchsorted(bd, np.clip(dofs_b_np, 0, nflat - 1))
+        pos = np.where(dofs_b_np < nflat, pos, bd.size)
+        bsum = make_gather_sum(pos, bd.size)
+        bd_j = jnp.asarray(bd)
 
     def gather(r_flat):
         rpad = jnp.concatenate(
@@ -204,7 +215,9 @@ def gather_scatter(patchset, layout):
                 (s, total - s - ny * by))
         out = out[:nflat]
         if nb:
-            out = out + bsum(xp[:, ni:].T.astype(dtype))
+            xb = jnp.where(active_b, xp[:, ni:].T, 0).astype(dtype)
+            out = out.at[bd_j].add(
+                bsum(xb), indices_are_sorted=True, unique_indices=True)
         return out
 
     return gather, scatter

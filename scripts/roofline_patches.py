@@ -123,16 +123,36 @@ def run_variants(nref):
     import os
     import subprocess
 
-    for variant in ["", "f32", "f32t", "f32p", "bf16t", "bf16p"]:
-        env = dict(os.environ, ALFI_TPU_PATCH_APPLY=variant)
+    # (name, ALFI_TPU_PATCH_APPLY, ALFI_TPU_STRUCT_PATCH): the table
+    # variants pin STRUCT=0 so the gather/scatter comparison is honest
+    # now that the sliced path is the default (mg/structured.py)
+    variants = [
+        ("f64", "", "0"),
+        ("f32", "f32", "0"),
+        ("f32t", "f32t", "0"),
+        ("f32p", "f32p", "0"),
+        ("bf16t", "bf16t", "0"),
+        ("struct", "", "1"),
+        ("struct-f32", "f32t", "1"),
+        ("struct-bf16", "bf16t", "1"),
+    ]
+    only = os.environ.get("ROOFLINE_ONLY")  # substring filter
+    for name, app, struct in variants:
+        if only and only not in name:
+            continue
+        env = dict(os.environ, ALFI_TPU_PATCH_APPLY=app,
+                   ALFI_TPU_STRUCT_PATCH=struct)
         r = subprocess.run(
             [sys.executable, __file__, str(nref), "--one"],
             env=env, capture_output=True, text=True, timeout=3600)
         line = (r.stdout.strip().splitlines() or ["{}"])[-1]
-        print(json.dumps({"variant": variant or "f64",
-                          **json.loads(line)}), flush=True)
+        try:
+            payload = json.loads(line)
+        except json.JSONDecodeError:
+            payload = {}
+        print(json.dumps({"variant": name, **payload}), flush=True)
         if r.returncode != 0:
-            print(json.dumps({"variant": variant or "f64",
+            print(json.dumps({"variant": name,
                               "error": r.stderr[-800:]}), flush=True)
 
 
