@@ -125,3 +125,40 @@ def use_woodbury():
 def set_use_woodbury(v):
     global _use_woodbury
     _use_woodbury = v
+
+
+_ksp_chunk = None
+
+
+def ksp_chunk():
+    """Arnoldi iterations per XLA dispatch in the OUTER almg FGMRES.
+
+    0: the whole solve (setup + every restart cycle) is one fused XLA
+    program — minimum overhead, the right choice on healthy local
+    hardware (and the CPU default).  N>0: the solve is driven from the
+    host in fixed N-iteration chunks (solvers/krylov.py
+    fgmres_stepper).  -1 / "auto" (the accelerator default): chunked
+    with ADAPTIVE sizing — each dispatch's wall-clock is measured and
+    the next chunk targets ~20 s.  This exists because the tunneled-TPU
+    transport kills any dispatch running ~60 s (measured in
+    /tmp/probe2: a 55.6 s dispatch survives, a 60.0 s one dies with
+    "TPU worker process crashed"): the ldc3d Re=3000 continuation step
+    deterministically died inside its one-program linear solve
+    (results/logs/ldc3d_p2fb_nref1_re5000.log) while every shorter step
+    succeeded.  Numerics are identical; the cost is one ~4-25 ms RPC
+    per chunk, negligible against multi-second 3D solves."""
+    global _ksp_chunk
+    if _ksp_chunk is None:
+        env = os.environ.get("ALFI_TPU_KSP_CHUNK", "auto")
+        if env == "auto":
+            # chunked+adaptive on accelerators (where the tunnel
+            # deadline lives), monolithic on CPU (tests, local runs)
+            _ksp_chunk = -1 if jax.default_backend() != "cpu" else 0
+        else:
+            _ksp_chunk = int(env)
+    return _ksp_chunk
+
+
+def set_ksp_chunk(n):
+    global _ksp_chunk
+    _ksp_chunk = int(n)

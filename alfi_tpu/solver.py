@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import config
 from .config import real_dtype
 from .fem import (
     FunctionSpace,
@@ -349,6 +350,60 @@ class NavierStokesSolver:
                 atol=tol["ksp_atol"], maxit=500, restart=30,
                 project=project)
             return bcset.zero(dz), info["iters"]
+
+        chunk = config.ksp_chunk()
+        if chunk != 0:
+            # host-driven chunked outer FGMRES (config.ksp_chunk):
+            # identical numerics, but no single XLA dispatch runs more
+            # than `chunk` Arnoldi iterations — survives the tunneled
+            # TPU transport's long-dispatch kills
+            from .solvers.krylov import fgmres_chunked
+
+            @jax.jit
+            def setup_fn(z, params, tstate, static):
+                return vmg.setup(z[0], params, schoeberl_state=tstate,
+                                 static=static, p_fine=z[1])
+
+            def A_of(aux, v):
+                z, params, _state = aux
+                J = make_jacobian_matvec(form.residual, bcset, z, params)
+                return J(v)
+
+            def pc_of(aux, v):
+                z, params, state = aux
+                solve_A = vmg.make_solve_A(state)
+                if schur == "lsc":
+                    from .solvers.fieldsplit import LSCSchurPC
+
+                    L = vmg.nlevels - 1
+
+                    def apply_A(vv):
+                        return vmg.level_apply(
+                            L, state["tensors"][L], vv,
+                            ftensors=state["ftensors"][L])
+
+                    pc = LSCSchurPC(form, mask_u, solve_A, apply_A,
+                                    has_nsp).make_apply(params)
+                else:
+                    pc = SchurPC(form, mask_u, solve_A).make_apply(params)
+                return pc(v)
+
+            def proj_of(aux, v):  # noqa: ARG001
+                return project(v) if project is not None else v
+
+            zero_jit = jax.jit(bcset.zero)
+            cache = {}
+
+            def lin_chunked(z, F, params, tstate=None):
+                state = setup_fn(z, params, tstate, self._almg_static)
+                dz, info = fgmres_chunked(
+                    A_of, pc_of, (z, params, state), tscale(-1.0, F),
+                    m=30, maxit=500, rtol=tol["ksp_rtol"],
+                    atol=tol["ksp_atol"], chunk=max(0, chunk),
+                    project_of=proj_of, jit_cache=cache)
+                return zero_jit(dz), info["iters"]
+
+            return lin_chunked
 
         def lin_wrapped(z, F, params, tstate=None):
             return lin(z, F, params, tstate, self._almg_static)

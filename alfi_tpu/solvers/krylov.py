@@ -252,6 +252,228 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
     return x, info
 
 
+def fgmres_stepper(A_of, pc_of, m, maxit, rtol, atol,
+                   project_of=None, ctx=None):
+    """Host-driven right-preconditioned FGMRES with chunk-bounded
+    dispatches.
+
+    :func:`fgmres` runs every Arnoldi iteration and restart cycle of a
+    solve as ONE XLA program; through the tunneled-TPU transport a
+    single such dispatch can run for minutes, so (a) any transport
+    fault loses the entire solve and (b) a per-RPC execution deadline
+    makes sufficiently hard solves *unsolvable* (the ldc3d Re=3000
+    continuation step, results/logs/ldc3d_p2fb_nref1_re5000.log).  This
+    factory splits the SAME algorithm at host level: ``start(aux, b,
+    x0)`` initialises a restart cycle, ``step(aux, b, carry, chunk)``
+    advances at most ``chunk`` Arnoldi iterations — finishing the cycle
+    (back-substitution + solution update) and opening the next one when
+    it hits the restart length or the tolerance — and the caller polls
+    ``carry["done"]`` between dispatches.  ``chunk`` is a TRACED scalar,
+    so the host driver can resize dispatches (fgmres_chunked's adaptive
+    mode) without recompiling.  Numerics are identical to
+    fgmres: same CGS2 orthogonalisation, Givens recurrence, padded
+    back-substitution and KSPConvergedDefault-style test
+    (/root/reference/alfi/solver.py:464-499 tolerances).
+
+    ``A_of(aux, v)`` / ``pc_of(aux, v)`` / ``project_of(aux, v)`` are
+    pure functions of an explicit operator-state pytree ``aux`` rather
+    than closures, so the returned (start, step) can each be jitted
+    exactly once by the caller with ``aux`` as an argument.
+    """
+    if ctx is None:
+        ctx = DotContext()
+    if project_of is None:
+        def project_of(aux, x):  # noqa: ARG001
+            return x
+
+    def opA(aux, v):
+        return project_of(aux, A_of(aux, v))
+
+    def cgs2(V, w, j):
+        h1 = ctx.buf_dots(V, w, j, m + 1)
+        w = _buf_axpy(V, h1, w)
+        h2 = ctx.buf_dots(V, w, j, m + 1)
+        w = _buf_axpy(V, h2, w)
+        return w, h1 + h2
+
+    def _open_cycle(aux, b, x, vdt):
+        """Fresh restart-cycle buffers at iterate x."""
+        r = tsub(b, opA(aux, x))
+        beta = ctx.norm(r)
+        V = tstack_zeros(b, m + 1)
+        V = tset(V, 0, tscale(1.0 / (beta + _EPS), r))
+        Z = tstack_zeros(b, m)
+        R = jnp.zeros((m + 1, m), dtype=vdt)
+        cs = jnp.zeros((m,), dtype=vdt)
+        sn = jnp.zeros((m,), dtype=vdt)
+        g = jnp.zeros((m + 1,), dtype=vdt).at[0].set(beta)
+        return dict(x=x, V=V, Z=Z, R=R, cs=cs, sn=sn, g=g,
+                    j=jnp.asarray(0), rnorm=beta)
+
+    def start(aux, b, x0=None):
+        if x0 is None:
+            x0 = tzeros_like(b)
+        b = project_of(aux, b)
+        vdt = jnp.result_type(*[x.dtype for x in jax.tree.leaves(b)])
+        cyc = _open_cycle(aux, b, x0, vdt)
+        rnorm0 = cyc["rnorm"]  # x0 = 0 or caller-supplied: r0 = b - A x0
+        target = jnp.maximum(rtol * rnorm0, atol)
+        carry = dict(cyc, it=jnp.asarray(0), rnorm0=rnorm0,
+                     target=target, done=rnorm0 <= target)
+        return carry
+
+    def step(aux, b, carry, chunk):
+        b = project_of(aux, b)
+        vdt = jnp.result_type(*[x.dtype for x in jax.tree.leaves(b)])
+        target = carry["target"]
+        it0 = carry["it"]
+        jcap = jnp.minimum(carry["j"] + chunk, m)
+
+        def arnoldi_cond(state):
+            V, Z, R, cs, sn, g, j, rnorm = state
+            return (j < jcap) & (rnorm > target) & (it0 + j < maxit)
+
+        def arnoldi_step(state):
+            V, Z, R, cs, sn, g, j, rnorm = state
+            z = pc_of(aux, tget(V, j))
+            Z = tset(Z, j, z)
+            w = opA(aux, z)
+            w, h = cgs2(V, w, j + 1)
+            hj1 = ctx.norm(w)
+            V = tset(V, j + 1, tscale(1.0 / (hj1 + _EPS), w))
+
+            def rot(i, hcol):
+                hi, hi1 = hcol[i], hcol[i + 1]
+                return hcol.at[i].set(
+                    cs[i] * hi + sn[i] * hi1).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hi1)
+
+            hcol = h.at[j + 1].set(hj1)
+            hcol = lax.fori_loop(0, j, rot, hcol)
+            a_, b_ = hcol[j], hcol[j + 1]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_) + _EPS
+            c_new, s_new = a_ / denom, b_ / denom
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            R = R.at[:, j].set(hcol)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            return V, Z, R, cs, sn, g, j + 1, jnp.abs(g[j + 1])
+
+        init = (carry["V"], carry["Z"], carry["R"], carry["cs"],
+                carry["sn"], carry["g"], carry["j"], carry["rnorm"])
+        V, Z, R, cs, sn, g, j, rnorm = lax.while_loop(
+            arnoldi_cond, arnoldi_step, init)
+
+        cycle_end = (j >= m) | (rnorm <= target) | (it0 + j >= maxit)
+
+        def close_cycle(_):
+            idx = jnp.arange(m)
+            active = idx < j
+            Rsq = jnp.where(active[None, :] & active[:, None],
+                            R[:m, :], jnp.eye(m, dtype=vdt))
+            y = jax.scipy.linalg.solve_triangular(
+                Rsq, jnp.where(active, g[:m], 0.0), lower=False)
+            x = jax.tree.map(
+                lambda xx, zz: xx + jnp.tensordot(y, zz, axes=(0, 0)),
+                carry["x"], Z)
+            it = it0 + j
+            done = (rnorm <= target) | (it >= maxit)
+
+            def reopen(_):
+                return _open_cycle(aux, b, x, vdt)
+
+            def keep(_):
+                # j folded into it above; zero it so (it + j) stays the
+                # exact total-iteration count for the host driver
+                return dict(x=x, V=V, Z=Z, R=R, cs=cs, sn=sn, g=g,
+                            j=jnp.zeros_like(j), rnorm=rnorm)
+
+            cyc = lax.cond(done, keep, reopen, None)
+            # closed-cycle rnorm: the reopened cycle's TRUE residual
+            # norm when continuing, the Givens estimate when done
+            return dict(cyc, x=x, it=it, done=done,
+                        rnorm=jnp.where(done, rnorm, cyc["rnorm"]))
+
+        def keep_open(_):
+            return dict(x=carry["x"], V=V, Z=Z, R=R, cs=cs, sn=sn,
+                        g=g, j=j, rnorm=rnorm, it=it0,
+                        done=jnp.asarray(False))
+
+        out = lax.cond(cycle_end, close_cycle, keep_open, None)
+        out["rnorm0"] = carry["rnorm0"]
+        out["target"] = target
+        return out
+
+    return start, step
+
+
+def fgmres_chunked(A_of, pc_of, aux, b, m=30, maxit=500, rtol=1e-9,
+                   atol=1e-10, chunk=0, target_s=20.0, project_of=None,
+                   ctx=None, jit_cache=None):
+    """Drive :func:`fgmres_stepper` to convergence from the host.
+
+    ``chunk``: Arnoldi iterations per dispatch.  0 (default) =
+    ADAPTIVE: start at 1, measure the per-iteration wall-clock of each
+    dispatch, and grow/shrink the next chunk to target ``target_s``
+    seconds per dispatch — comfortably under the tunneled transport's
+    ~60 s dispatch deadline (measured: a 55.6 s dispatch survives, a
+    60.0 s one is killed) while amortising the per-RPC cost on cheap
+    problems.  Because ``chunk`` is a traced argument of the compiled
+    step, resizing never recompiles.
+
+    ``jit_cache``: optional dict the caller owns; the jitted
+    (start, step) pair and the adaptation state are memoised there so
+    repeated solves (Newton iterations, continuation steps) reuse ONE
+    compilation and remember the learned per-iteration cost.
+    Returns ``(x, info)`` with the same info dict as :func:`fgmres`.
+    """
+    import time as _time
+
+    if jit_cache is None:
+        jit_cache = {}
+    if "stepper" not in jit_cache:
+        start, step = fgmres_stepper(
+            A_of, pc_of, m=m, maxit=maxit, rtol=rtol, atol=atol,
+            project_of=project_of, ctx=ctx)
+        jit_cache["stepper"] = (jax.jit(start), jax.jit(step))
+    start_j, step_j = jit_cache["stepper"]
+    adaptive = chunk <= 0
+    if adaptive:
+        chunk = jit_cache.get("chunk", 1)
+    carry = start_j(aux, b)
+    done, it, j = jax.device_get(
+        (carry["done"], carry["it"], carry["j"]))
+    # poll the scalars between bounded dispatches (the whole point:
+    # one host round-trip per `chunk` Krylov iterations)
+    while not bool(done):
+        t0 = _time.perf_counter()
+        carry = step_j(aux, b, carry, chunk)
+        done, it2, j2 = jax.device_get(
+            (carry["done"], carry["it"], carry["j"]))
+        if adaptive:
+            dt = _time.perf_counter() - t0
+            # progress made this dispatch; `it` jumps by the in-cycle j
+            # at cycle close, so (it + j) is monotone across dispatches
+            adv = max(1, int(it2 + j2) - int(it + j))
+            if jit_cache.get("warm", False):
+                per_it = dt / adv
+                chunk = max(1, min(m, int(target_s / max(per_it, 1e-6))))
+                jit_cache["chunk"] = chunk
+            else:
+                # first dispatch carries the XLA compile: don't let it
+                # poison the estimate, just mark warm and stay small
+                jit_cache["warm"] = True
+        it, j = it2, j2
+    return carry["x"], {
+        "iters": carry["it"],
+        "rnorm": carry["rnorm"],
+        "rnorm0": carry["rnorm0"],
+        "converged": carry["rnorm"] <= carry["target"],
+    }
+
+
 def cg(A, b, pc=None, x0=None, rtol=1e-8, atol=1e-50, maxit=200,
        project=None, ctx=None):
     """Preconditioned CG with unpreconditioned-norm convergence test
