@@ -8,7 +8,11 @@ tests of SNESConvergedDefault with the tolerance sets of
 * atol:  ||F|| <= atol
 * rtol:  ||F|| <= rtol * ||F0||
 * stol:  ||dz|| <= stol * ||z||   (converged_snorm)
-* max_it 20, divergence when ||F|| is not finite.
+* max_it 20, divergence when ||F|| is not finite OR exceeds
+  dtol * ||F0|| (SNESConvergedDefault's -snes_divergence_tolerance,
+  default 1e4) — without the dtol test a physically unsteady
+  continuation step (e.g. the dfg Re=500 endpoint) burns maxit full
+  500-iteration Krylov solves on norms marching to overflow.
 
 The loop is a *host* loop (like SNES's own outer loop) driving jitted
 residual / linear-solve closures; every per-iteration compute stays on
@@ -37,7 +41,7 @@ class NewtonInfo:
 
 
 def newton(residual, linear_solve, z0, *, maxit=20, rtol=1e-9, atol=1e-8,
-           stol=1e-6, monitor=None):
+           stol=1e-6, dtol=1e4, monitor=None):
     """Solve residual(z) = 0.
 
     residual(z)            -> BC-row-masked residual pytree
@@ -68,6 +72,9 @@ def newton(residual, linear_solve, z0, *, maxit=20, rtol=1e-9, atol=1e-8,
         if not jnp.isfinite(fnorm):
             info.converged, info.reason = False, "diverged_fnorm_nan"
             return z, info
+        if fnorm > dtol * fnorm0:
+            info.converged, info.reason = False, "diverged_dtol"
+            return z, info
         if fnorm <= atol:
             info.converged, info.reason = True, "atol"
             return z, info
@@ -84,7 +91,7 @@ def newton(residual, linear_solve, z0, *, maxit=20, rtol=1e-9, atol=1e-8,
 
 
 def newton_jit(residual, linear_solve, z0, *, maxit=20, rtol=1e-9,
-               atol=1e-8, stol=1e-6):
+               atol=1e-8, stol=1e-6, dtol=1e4):
     """Fully-traced Newton (one XLA program); returns (z, stats array
     [nonlinear_iter, linear_iter, fnorm, converged])."""
 
@@ -108,6 +115,7 @@ def newton_jit(residual, linear_solve, z0, *, maxit=20, rtol=1e-9,
             | (fn <= rtol * fnorm0)
             | (snorm <= stol * znorm)
             | ~jnp.isfinite(fn)
+            | (fn > dtol * fnorm0)
         )
         return z, F, fn, it + 1, lits + l, done
 
