@@ -180,11 +180,16 @@ def run_solver(solver, res, args):
             # garbage and a resumed sweep would "skip" the failed Re
             # with poisoned state instead of retrying it
             if args.checkpoint and info_dict.get("converged", True):
-                np.savez(path, u=np.asarray(z[0]), p=np.asarray(z[1]),
+                # atomic write (tmp + rename): a concurrent run sharing
+                # the checkpoint dir (e.g. a CPU minting pass alongside
+                # the TPU sweep) must never observe a half-written npz
+                tmp = "%s.tmp%d.npz" % (path, os.getpid())
+                np.savez(tmp, u=np.asarray(z[0]), p=np.asarray(z[1]),
                          numbering=_numbering_tag(),
                          **{k: info_dict[k] for k in
                             ("nu", "linear_iter", "nonlinear_iter",
                              "time", "converged") if k in info_dict})
+                os.replace(tmp, path)
         if args.paraview:
             os.makedirs(outdir, exist_ok=True)
             from .utils.vtk import write_velocity_vtu, write_vtu
