@@ -24,6 +24,15 @@ if os.environ.get("ALFI_TPU_X64", "1") == "1":
 # queue stages OOM-ing the TPU compile helper, queue_r4cpu round 1-3).
 if os.environ.get("ALFI_TPU_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
+    # XLA:CPU constant folding evaluates the big FEM tabulation einsums
+    # at compile time (>2 GB HLO protos, multi-hour "Constant folding an
+    # instruction is taking > 32s" stalls — the round-3 ldc3d CPU
+    # blocker).  Disabling the pass cut the ldc3d nref=1 continuation
+    # step to ~3.5 s on one host core with no measured runtime penalty.
+    if "constant_folding" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_disable_hlo_passes=constant_folding").strip()
 
 # persistent compilation cache: the solver programs are large (minutes of
 # XLA time on TPU) and identical across processes/runs
