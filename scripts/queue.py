@@ -229,8 +229,33 @@ def r4cpu():
     return st
 
 
+def r4sv():
+    """SV top-of-sweep A/B (VERDICT r3 item 7): the measured nref=2
+    Re=10^4 kpn is 28.5 under the reference's exact pins (smoothing 6,
+    --restriction, Burman weight 5e-3, /root/reference/examples/
+    Makefile:12-17); these stages vary one knob each to locate the gap
+    vs the papers' ~<15.  Iteration counts are platform-independent —
+    CPU, niced."""
+    st = []
+    for name, kw in [
+            ("svs10", dict(smoothing=10)),
+            ("svw12", dict(stabilisation_weight=1e-2)),
+            ("svw13", dict(stabilisation_weight=1e-3)),
+    ]:
+        base = dict(nref_start=2, nref_end=2, baseN=16, k=2,
+                    solver_type="almg", discretisation="sv", mh="bary",
+                    stabilisation_type="burman",
+                    stabilisation_weight=5e-3, patch="macro",
+                    restriction=True, re_max=10000)
+        base.update(kw)
+        cmd, need = iters("ldc2d", 102, **base)
+        st.append(_stage(name, "sv_ldc2d_nref2_%s.log" % name, cmd,
+                         need=need, timeout=43200, platform="cpu"))
+    return st
+
+
 QUEUES = {"r3tpu": r3tpu, "r3cpu": r3cpu, "r4tpu": r4tpu,
-          "r4cpu": r4cpu}
+          "r4cpu": r4cpu, "r4sv": r4sv}
 
 
 # ---------------------------------------------------------------------
