@@ -107,6 +107,17 @@ def mg_dtype():
             _mg_dtype = {"f32": jnp.float32, "f64": jnp.float64}[env]
         else:
             _mg_dtype = real_dtype
+        if (_mg_dtype == jnp.float32
+                and jax.default_backend() not in ("cpu",)):
+            # On TPU an f32 einsum runs the MXU at DEFAULT matmul
+            # precision = bf16 inputs, so the "f32 cycle" silently
+            # becomes a bf16 cycle: measured Re=700 ldc2d nref=2 solve
+            # took 86 Krylov its on TPU vs 31 on CPU with bit-true f32
+            # (scripts/diag_f32_tail.py).  The cycle's matvecs are
+            # HBM-BANDWIDTH-bound (~0.25 flop/byte), so full-f32 MXU
+            # passes cost ~nothing; pin HIGHEST unless overridden.
+            prec = os.environ.get("ALFI_TPU_MATMUL_PRECISION", "highest")
+            jax.config.update("jax_default_matmul_precision", prec)
     return _mg_dtype
 
 
