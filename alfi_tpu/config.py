@@ -126,6 +126,38 @@ def set_mg_dtype(dtype):
     _mg_dtype = dtype
 
 
+_mg_store = None
+
+
+def mg_store():
+    """STORAGE dtype of the MG level-operator stream (gamma-split
+    M/B element tensors, facet tensors) — independent of the cycle's
+    COMPUTE dtype (mg_dtype).
+
+    The f32 cycle fails iteration parity at high Re (measured: 31 vs 15
+    Krylov its at Re=700 regardless of which STORED state stays f64 —
+    scripts/diag_f32_tail.py), i.e. the loss is in f32 vector
+    arithmetic.  Storing the operator stream in f32 while computing in
+    f64 is the complementary mix: a consistent relative-eps32 operator
+    perturbation (absorbed by flexible GMRES like the Woodbury f32
+    factorisation) that halves the dominant HBM traffic of every level
+    matvec.  XLA fuses the widening converts into the loads, so the
+    stream stays f32 bytes.  Opt-in: ALFI_TPU_MG_STORE=f32."""
+    global _mg_store
+    if _mg_store is None:
+        env = os.environ.get("ALFI_TPU_MG_STORE")
+        if env:
+            _mg_store = {"f32": jnp.float32, "f64": jnp.float64}[env]
+        else:
+            _mg_store = mg_dtype()
+    return _mg_store
+
+
+def set_mg_store(dtype):
+    global _mg_store
+    _mg_store = dtype
+
+
 _use_woodbury = None
 
 

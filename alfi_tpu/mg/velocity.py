@@ -152,6 +152,13 @@ class VelocityMG:
         #: applies) runs here; factorisations stay f64
         self.cdt = mg_dtype()
 
+        #: level-operator STORAGE dtype (config.mg_store): tensors can
+        #: stream f32 bytes while the cycle computes in f64 — the
+        #: widening converts fuse into the loads
+        from ..config import mg_store
+
+        self.sdt = mg_store()
+
         #: cell-minor element-tensor layout for the level matvecs
         #: (see MGLevel.ensure_transposed)
         self.transposed_apply = (
@@ -365,8 +372,10 @@ class VelocityMG:
             g64 = tensors["gamma"].astype(jnp.float64)
             if M.shape[-1] != nld:  # cell-minor gamma-split (t-layout)
                 vloc_t = v0[lev.rows_t]  # (nld, nc)
-                rloc_t = jnp.sum(M * vloc_t[None, :, :].astype(M.dtype),
-                                 axis=1)
+                # dtype promotion (not a cast): f32-stored M with f64
+                # vectors computes in f64 (config.mg_store), f32 cycle
+                # vectors keep the all-f32 path
+                rloc_t = jnp.sum(M * vloc_t[None, :, :], axis=1)
                 v64_t = vloc_t.astype(jnp.float64)
                 if B.shape[0] == 1:  # q=1, stored (1, nld, nc)
                     B1t = B[0].astype(jnp.float64)  # (nld, nc)
@@ -396,8 +405,7 @@ class VelocityMG:
                 rflat = lev.sum_cells(rloc, v.dtype)
         elif tensors.shape[-1] != nld:  # cell-minor (nld, nld, nc)
             vloc = v0[lev.rows_t]  # (nld, nc)
-            rloc = jnp.sum(tensors * vloc[None, :, :].astype(
-                tensors.dtype), axis=1)
+            rloc = jnp.sum(tensors * vloc[None, :, :], axis=1)
             rflat = lev.row_sum_t(rloc.astype(v.dtype))
         else:
             vloc = lev.gather_cells(v0)
@@ -407,8 +415,7 @@ class VelocityMG:
             nfd = self.facet_rows[l].shape[1]
             if ftensors.shape[-1] != nfd:  # facet-minor (i, j, nif)
                 vf = v0[self.facet_rows_t[l]]
-                rf = jnp.sum(ftensors * vf[None, :, :].astype(
-                    ftensors.dtype), axis=1)
+                rf = jnp.sum(ftensors * vf[None, :, :], axis=1)
                 rflat = rflat + self.facet_row_sums_t[l](
                     rf.astype(v.dtype))
             else:
@@ -491,7 +498,8 @@ class VelocityMG:
         # factorisations consume the f64 lists, so EVERY smoother gets
         # the gamma-split stream — an all-f32 cast of nu*K + gamma*G is
         # exactly the gamma*eps32 blow-up level_apply documents.
-        mixed_tensors = [] if self.cdt != real_dtype else None
+        mixed_tensors = ([] if (self.cdt != real_dtype
+                                or self.sdt != real_dtype) else None)
         N_els = None
         if wb:
             params_M = dict(params)
@@ -707,6 +715,20 @@ class VelocityMG:
             state = {k: (v if k in keep
                          else cast_floating(v, self.cdt))
                      for k, v in state.items()}
+        elif self.sdt != real_dtype:
+            # store-f32 / compute-f64 (config.mg_store): ONLY the
+            # gamma-split level-operator stream is narrowed; vectors,
+            # smoother arithmetic, factorisations and transfers stay
+            # f64, so the cycle is the f64 cycle applied to a
+            # relative-eps32-perturbed operator — iteration parity by
+            # consistency, half the matvec HBM bytes.  level_apply
+            # computes via dtype promotion (f32 tensor x f64 vector ->
+            # f64), so the converts fuse into the loads.
+            from ..utils.tree import cast_floating
+
+            state["tensors"] = cast_floating(state["tensors"], self.sdt)
+            state["ftensors"] = cast_floating(state["ftensors"],
+                                              self.sdt)
         if self.smoother_driver == "chebyshev":
             state["lmax"] = [
                 self._estimate_lmax(l, state)

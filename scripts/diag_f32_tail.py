@@ -21,14 +21,17 @@ CKPT = "results/checkpoint_f32g/41474/nssolution-Re-600.npz"
 RE = 700
 
 
-def run(dt, keep):
+def run(dt, keep, store=""):
     import numpy as np
 
     os.environ["ALFI_TPU_MG_DTYPE"] = dt
     os.environ["ALFI_TPU_MG_F64_KEYS"] = keep
+    if store:
+        os.environ["ALFI_TPU_MG_STORE"] = store
     import alfi_tpu.config as config
 
     config._mg_dtype = None
+    config._mg_store = None
     import jax.numpy as jnp
 
     from alfi_tpu import ConstantPressureSolver
@@ -41,9 +44,10 @@ def run(dt, keep):
     with np.load(CKPT) as chk:
         s.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
     _, info = s.solve(RE)
-    print("%-6s keys=%-28s Re=%d lin=%3d non=%d conv=%s"
-          % (dt, keep or "-", RE, info["linear_iter"],
-             info["nonlinear_iter"], info["converged"]), flush=True)
+    print("%-8s keys=%-26s Re=%d lin=%3d non=%d conv=%s"
+          % (dt + ("/s" + store if store else ""), keep or "-", RE,
+             info["linear_iter"], info["nonlinear_iter"],
+             info["converged"]), flush=True)
 
 
 if __name__ == "__main__":
@@ -57,10 +61,11 @@ if __name__ == "__main__":
         "f32:patch_lufacs,schoeberl",
     ]
     for mix in mixes:
-        dt, _, keep = mix.partition(":")
+        head, _, keep = mix.partition(":")
+        dt, _, store = head.partition("/")
         # each mix in a subprocess: mg_dtype/key env binds at setup
         if os.environ.get("_DIAG_CHILD") == mix:
-            run(dt, keep)
+            run(dt, keep, store)
             sys.exit(0)
         import subprocess
 

@@ -205,3 +205,70 @@ def test_f32_cycle_iteration_parity():
     # and NO blow-up (round 2's all-f32 cycle diverged here).
     c32, c64 = np.array(c32), np.array(c64)
     assert np.all(c32 <= 1.10 * c64 + 1), (c64.tolist(), c32.tolist())
+
+
+def test_store_f32_iteration_parity():
+    """store-f32 / compute-f64 (config.mg_store): the operator stream
+    is a consistent relative-eps32 perturbation, so Krylov counts must
+    match the f64 control EXACTLY (measured at Re=700 nref=2: 15 == 15,
+    scripts/diag_f32_tail.py) — unlike the f32-COMPUTE cycle above
+    whose tail drifts (31 vs 15 at Re=700)."""
+    from alfi_tpu.config import set_mg_store
+
+    res = [1, 10, 100, 1000]
+
+    def sweep():
+        s = _solver(stabilisation_type="supg")
+        counts = []
+        for re in res:
+            _, info = s.solve(re)
+            assert info["converged"]
+            counts.append(info["linear_iter"])
+        return counts
+
+    c64 = sweep()
+    set_mg_store(jnp.float32)
+    try:
+        cs = sweep()
+    finally:
+        set_mg_store(real_dtype)
+    cs, c64 = np.array(cs), np.array(c64)
+    assert np.all(cs <= c64 + 1), (c64.tolist(), cs.tolist())
+
+
+def test_store_f32_state_dtypes():
+    """Only the level-operator stream narrows: tensors/ftensors f32,
+    vectors and factorisations untouched (f64)."""
+    from alfi_tpu.config import set_mg_store
+
+    set_mg_store(jnp.float32)
+    try:
+        s = _solver(stabilisation_type="supg")
+        s.solve(1)
+        state, params = _setup_state(s)
+    finally:
+        set_mg_store(real_dtype)
+    import jax
+
+    top = state["tensors"][-1]
+    assert isinstance(top, dict) and top["M"].dtype == jnp.float32
+    assert all(
+        leaf.dtype == jnp.float64
+        for leaf in jax.tree.leaves(state["patch_lufacs"][-1])
+        if jnp.issubdtype(leaf.dtype, jnp.floating))
+    # and the apply at f32 storage matches the f64 apply to ~eps32
+    set_mg_store(real_dtype)
+    s2 = _solver(stabilisation_type="supg")
+    s2.solve(1)
+    state64, _ = _setup_state(s2)
+    L = s.vmg.nlevels - 1
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(
+        (s.vmg.levels[L].V.ndof, s.vmg.d)))
+    r32 = s.vmg.level_apply(L, state["tensors"][L], v,
+                            ftensors=state["ftensors"][L])
+    r64 = s2.vmg.level_apply(L, state64["tensors"][L], v,
+                             ftensors=state64["ftensors"][L])
+    assert r32.dtype == jnp.float64
+    rel = float(jnp.linalg.norm(r32 - r64) / jnp.linalg.norm(r64))
+    assert rel < 1e-5, rel
