@@ -209,10 +209,15 @@ class _ExplicitInverseFactorization:
     Pallas kernel instead of the XLA multiply-reduce."""
 
     def __init__(self, apply_dtype=None, transposed=False,
-                 use_pallas=False):
+                 use_pallas=False, promote=False):
         self.apply_dtype = apply_dtype
         self.transposed = transposed
         self.use_pallas = use_pallas
+        #: store-narrow / compute-wide (the config.mg_store pattern):
+        #: inverses stored in apply_dtype but the GEMV runs in the
+        #: RESIDUAL dtype via promotion — halved factor stream, exact
+        #: iteration parity (consistent eps32 perturbation of the PC)
+        self.promote = promote
         self.batch_axis = -1 if transposed else 0
 
     def factor(self, A):
@@ -241,6 +246,8 @@ class _ExplicitInverseFactorization:
                else apply_transposed_xla)
         # bf16 factors: only the stored inverses are bf16 — the
         # residual and the accumulation stay f32
+        if self.promote:
+            return app(Ainv, rp)
         rdt = (jnp.float32 if Ainv.dtype == jnp.bfloat16
                else Ainv.dtype)
         return app(Ainv, rp.astype(rdt)).astype(rp.dtype)
@@ -252,8 +259,8 @@ class _ExplicitInverseFactorization:
             # vectors, never the factor
             return self.solve_t(Ainv, b.T).T
         if self.apply_dtype is not None:
-            y = jnp.einsum("...ij,...j->...i", Ainv,
-                           b.astype(self.apply_dtype))
+            rhs = b if self.promote else b.astype(self.apply_dtype)
+            y = jnp.einsum("...ij,...j->...i", Ainv, rhs)
             return y.astype(b.dtype)
         return jnp.einsum("...ij,...j->...i", Ainv, b)
 
@@ -304,20 +311,25 @@ def get_factorization(kind="dense"):
             #       iteration-count parity on the high-Re sweeps is the
             #       acceptance gate
             #   t     — f64 patch-minor (layout effect in isolation)
+            #   f32s / f32st — f32-STORED inverses, f64-COMPUTED GEMV
+            #       (dtype promotion): halved factor stream with EXACT
+            #       iteration parity (the config.mg_store pattern)
             app = os.environ.get("ALFI_TPU_PATCH_APPLY", "")
             if app not in ("", "f32", "f32t", "f32p", "bf16t",
-                           "bf16p", "t"):
+                           "bf16p", "t", "f32s", "f32st"):
                 # a typo (e.g. bare "bf16") would silently pick a mode
                 # that truncates the residual — refuse instead
                 raise ValueError(
                     "ALFI_TPU_PATCH_APPLY=%r: expected one of "
-                    "'', f32, f32t, f32p, bf16t, bf16p, t" % app)
+                    "'', f32, f32t, f32p, bf16t, bf16p, t, f32s, f32st"
+                    % app)
             dt = (jnp.float32 if app.startswith("f32")
                   else jnp.bfloat16 if app.startswith("bf16") else None)
             _fs[kind] = _ExplicitInverseFactorization(
                 dt, transposed=app in ("f32t", "f32p", "bf16t",
-                                       "bf16p", "t"),
-                use_pallas=app in ("f32p", "bf16p"))
+                                       "bf16p", "t", "f32st"),
+                use_pallas=app in ("f32p", "bf16p"),
+                promote=app in ("f32s", "f32st"))
         elif kind == "coarse":
             # ONE matrix applied many times per cycle: pay the blocked
             # inverse once, GEMV thereafter

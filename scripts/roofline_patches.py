@@ -132,9 +132,11 @@ def run_variants(nref):
         ("f32t", "f32t", "0"),
         ("f32p", "f32p", "0"),
         ("bf16t", "bf16t", "0"),
+        ("f32s", "f32s", "0"),
         ("struct", "", "1"),
         ("struct-f32", "f32t", "1"),
         ("struct-bf16", "bf16t", "1"),
+        ("struct-f32s", "f32st", "1"),
     ]
     only = os.environ.get("ROOFLINE_ONLY")  # substring filter
     for name, app, struct in variants:
