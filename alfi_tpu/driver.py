@@ -122,9 +122,15 @@ def performance_info(solver):
 def _numbering_tag():
     """Entity-numbering fingerprint stored in checkpoints: dof vectors
     are meaningless under a different numbering (mesh/renumber.py)."""
-    from .mesh.renumber import geom_numbering_enabled
+    from .mesh.renumber import (
+        geom_numbering_3d_enabled,
+        geom_numbering_enabled,
+    )
 
-    return "geom1" if geom_numbering_enabled() else "legacy0"
+    tag = "geom1" if geom_numbering_enabled() else "legacy0"
+    if geom_numbering_3d_enabled():
+        tag += "+3d"
+    return tag
 
 
 def run_solver(solver, res, args):

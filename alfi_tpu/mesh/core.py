@@ -115,18 +115,25 @@ class Mesh:
         cell_facets_verts = self.cells[:, keep]  # (nc, d+1, d)
         flat = _sorted_rows(cell_facets_verts.reshape(nc * (d + 1), d))
         facets, inverse = _row_unique_inverse(flat)
-        if d == 2:
-            # geometric edge order: on structured grids this blocks the
-            # three edge families into contiguous lex planes, making
-            # patch index tables sliceable (mesh/renumber.py docstring)
-            from .renumber import facet_geom_perm, geom_numbering_enabled
+        # geometric facet order: on structured grids this blocks the
+        # facet families into contiguous lex planes, making patch index
+        # tables sliceable (mesh/renumber.py docstring).  2D default-on;
+        # 3D opt-in (the numbering tag orphans existing checkpoints)
+        from .renumber import (
+            entity_geom_perm,
+            facet_geom_perm,
+            geom_numbering_3d_enabled,
+            geom_numbering_enabled,
+        )
 
-            if geom_numbering_enabled():
-                perm = facet_geom_perm(self.vertices, facets)
-                rank = np.empty(perm.size, dtype=inverse.dtype)
-                rank[perm] = np.arange(perm.size, dtype=inverse.dtype)
-                facets = facets[perm]
-                inverse = rank[inverse]
+        if (d == 2 and geom_numbering_enabled()) or (
+                d == 3 and geom_numbering_3d_enabled()):
+            perm = (facet_geom_perm(self.vertices, facets) if d == 2
+                    else entity_geom_perm(self.vertices, facets))
+            rank = np.empty(perm.size, dtype=inverse.dtype)
+            rank[perm] = np.arange(perm.size, dtype=inverse.dtype)
+            facets = facets[perm]
+            inverse = rank[inverse]
         self.facet_vertices = facets.astype(index_dtype)  # (nf, d) sorted
         self.num_facets = facets.shape[0]
         # cell -> facet index map, (nc, d+1)
@@ -170,6 +177,16 @@ class Mesh:
         ev = self.cells[:, pairs]  # (nc, 6, 2)
         flat = _sorted_rows(ev.reshape(-1, 2))
         edges, inverse = _row_unique_inverse(flat)
+        from .renumber import entity_geom_perm, geom_numbering_3d_enabled
+
+        if geom_numbering_3d_enabled():
+            # geometric edge order (see _build_facets): blocks the
+            # seven structured-tet edge families into lex planes
+            perm = entity_geom_perm(self.vertices, edges)
+            rank = np.empty(perm.size, dtype=inverse.dtype)
+            rank[perm] = np.arange(perm.size, dtype=inverse.dtype)
+            edges = edges[perm]
+            inverse = rank[inverse]
         self.edge_vertices = edges.astype(index_dtype)
         self.num_edges = edges.shape[0]
         self.cell_edges = inverse.reshape(self.num_cells, 6)

@@ -96,7 +96,9 @@ def refine_uniform(mesh: Mesh) -> Mesh:
         )  # (nc, 8, 4)
         fine_cells = children.reshape(-1, 4)
         n_children = 8
-        renumber = False
+        from .renumber import geom_numbering_3d_enabled
+
+        renumber = geom_numbering_3d_enabled()
     else:
         raise NotImplementedError(d)
 

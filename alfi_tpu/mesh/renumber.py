@@ -64,6 +64,13 @@ def renumber_vertices(vertices, cells, perm, *extra_vertex_tuples):
     return tuple(out)
 
 
+def geom_numbering_3d_enabled():
+    """3D entity numbering is OPT-IN (ALFI_TPU_GEOM_NUMBERING_3D=1):
+    flipping it changes the checkpoint numbering tag, which would
+    orphan every existing 3D continuation checkpoint mid-round."""
+    return os.environ.get("ALFI_TPU_GEOM_NUMBERING_3D") == "1"
+
+
 def facet_geom_perm(vertices, facet_vertices):
     """new-order list for 2D facets (= edges): sort by (direction
     class, y_mid, x_mid).  The direction class is the edge angle folded
@@ -77,3 +84,36 @@ def facet_geom_perm(vertices, facet_vertices):
     mid = 0.5 * (a + b)
     return np.lexsort((np.arange(fv.shape[0]), mid[:, 0], mid[:, 1],
                        ang))
+
+
+def entity_geom_perm(vertices, entity_vertices):
+    """Generic geometric entity order in any dimension: sort by
+    (direction-class key, z_mid, y_mid, x_mid).
+
+    The direction class of an entity is its normalised, sign-folded
+    span: for an edge the unit direction vector, for a triangular face
+    the unit normal — rounded so exact-arithmetic families on a
+    structured grid collapse to identical keys, producing one
+    contiguous lex-ordered block per entity family (the 3D analogue of
+    :func:`facet_geom_perm`, enabling the sliced patch tables of
+    mg/structured.py on generated box meshes)."""
+    ev = np.asarray(entity_vertices)
+    n, k = ev.shape
+    pts = vertices[ev]  # (n, k, dim)
+    mid = pts.mean(axis=1)
+    if k == 2:
+        dvec = pts[:, 1] - pts[:, 0]
+    else:  # triangle: normal spans the direction class
+        dvec = np.cross(pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 0])
+    nrm = np.linalg.norm(dvec, axis=1, keepdims=True)
+    dvec = dvec / np.maximum(nrm, 1e-300)
+    # fold sign: first nonzero component positive
+    sgn = np.ones(n)
+    for c in range(dvec.shape[1] - 1, -1, -1):
+        nz = np.abs(dvec[:, c]) > 1e-9
+        sgn = np.where(nz, np.sign(dvec[:, c]), sgn)
+    dvec = np.round(dvec * sgn[:, None], 9)
+    keys = [np.arange(n)]
+    keys += [mid[:, c] for c in range(mid.shape[1])]  # x fastest
+    keys += [dvec[:, c] for c in range(dvec.shape[1])]
+    return np.lexsort(tuple(keys))
