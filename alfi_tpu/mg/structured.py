@@ -53,41 +53,64 @@ def struct_patch_enabled():
     return os.environ.get("ALFI_TPU_STRUCT_PATCH", "1") == "1"
 
 
+class _Block:
+    """One sliced patch CLASS: a full box of translation-equivalent
+    interior patches.  2D structured triangle grids have exactly one
+    class; 3D structured tet lattices have up to eight parity classes
+    (z%2, y%2, x%2) with different star sizes — each class gets its own
+    affine slot table.  ``sentinel[j]`` marks slot groups that are pure
+    padding for this class (patch tables are padded to the global m
+    with dof == nflat): they gather zeros and scatter nothing."""
+
+    def __init__(self, extents, starts, strides, sentinel):
+        self.extents = tuple(int(e) for e in extents)
+        self.ni = int(np.prod(self.extents))
+        self.starts = starts
+        self.strides = strides
+        self.sentinel = sentinel
+
+
 class StructuredLayout:
     """Detected slice structure of a PatchSet (host-side, static).
 
-    order    (np,)  patch permutation: interior grid patches first in
-                    (z,) (y, x) lex order, the boundary fringe after
-    ni       int    number of interior (sliced) patches = prod(extents)
-    extents  tuple  interior seed-grid extents, (ny, nx) or (nz, ny, nx)
-    starts   (m/d,) flat-dof start of each slot group at the grid origin
-    strides  (m/d, dim-1) outer-axis strides of each slot group —
-                    [by] in 2D, [bz, by] in 3D (the x-stride is always
-                    exactly d, i.e. components contiguous)
+    order    (np,)  patch permutation: sliced patches first (class by
+                    class, each in (z,) (y, x) lex order), fringe after
+    ni       int    total sliced patches = sum of block ni
+    blocks   list   per-class _Block slot tables
     pad      int    rows to append to the flat vector so every outer
                     slice [s, s + n_outer * stride_outer) is in range
     """
 
-    def __init__(self, order, ni, extents, starts, strides, pad):
+    def __init__(self, order, blocks, pad):
         self.order = order
-        self.ni = ni
-        self.extents = tuple(int(e) for e in extents)
-        self.starts = starts
-        self.strides = strides
+        self.blocks = blocks
+        self.ni = sum(b.ni for b in blocks)
         self.pad = pad
 
-    # 2D-compat accessors (existing consumers/tests)
+    # single-class accessors (2D consumers/tests)
+    @property
+    def extents(self):
+        return self.blocks[0].extents
+
     @property
     def ny(self):
-        return self.extents[-2]
+        return self.blocks[0].extents[-2]
 
     @property
     def nx(self):
-        return self.extents[-1]
+        return self.blocks[0].extents[-1]
+
+    @property
+    def starts(self):
+        return self.blocks[0].starts
+
+    @property
+    def strides(self):
+        return self.blocks[0].strides
 
     @property
     def bys(self):
-        return self.strides[:, -1]
+        return self.blocks[0].strides[:, -2]
 
 
 def _grid_coords(points):
@@ -110,15 +133,94 @@ def _grid_coords(points):
     return out
 
 
+def _solve_block(patchset, idx, coords):
+    """Affine/sentinel slot solve for one candidate class.
+
+    The dof of component t of slot group j of the patch at class-grid
+    position (z, y, x) must satisfy EXACTLY
+
+        dofs = s_j + bz_j*z + by_j*y + d*x_step*x ... — we absorb the
+    grid step into the strides by using the RELATIVE class coordinates
+    directly (a parity class advances 2 lattice steps per unit), so the
+    solved x-stride is d * (lattice dofs per class step).
+
+    Returns (lex_order_of_idx, _Block) or None; every check is against
+    the actual dof table, so anything non-affine declines."""
+    m, d = patchset.m, patchset.space_d
+    dim = len(coords)
+    exts = [int(c.max() - c.min() + 1) for c in coords]
+    if idx.size != int(np.prod(exts)):
+        return None
+    rel = [np.asarray(c - c.min(), dtype=np.int64) for c in coords]
+    bitmap = np.zeros(exts, dtype=bool)
+    bitmap[tuple(rel)] = True
+    if not bitmap.all():
+        return None
+    # class patches in (z, y, x) lex order, x fastest
+    o = np.lexsort(tuple(rel[::-1]))
+    lex = idx[o]
+    R = [r[o] for r in rel]
+    D = patchset.dofs[lex].astype(np.int64)  # (ni, m)
+    nflat = patchset.nflat
+    md = m // d
+    starts = np.zeros(md, dtype=np.int64)
+    strides = np.zeros((md, dim), dtype=np.int64)
+    sentinel = np.zeros(md, dtype=bool)
+    # every axis stride is solved per slot, x included: a parity class
+    # steps 2 lattice units per class step, so sx is d * (flat dofs per
+    # class step), not necessarily d
+    for j in range(md):
+        G = D[:, j * d:(j + 1) * d]
+        if (G == nflat).all():
+            sentinel[j] = True
+            continue
+        base = G[:, 0]
+        origin = np.all([R[a] == 0 for a in range(dim)], axis=0)
+        if not (base[origin] == base[origin][0]).all():
+            return None
+        s = int(base[origin][0])
+        rr = base - s
+        expect = np.zeros_like(rr)
+        lower = d  # x-stride >= d; each outer covers the inner window
+        sts = []
+        for a in range(dim - 1, -1, -1):  # X, Y, then (3D) Z
+            if exts[a] == 1:
+                # degenerate axis (a 1-thick interior class slab):
+                # stride never used; pick the window bound
+                sts.append(lower)
+                continue
+            unit = np.all(
+                [R[b] == (1 if b == a else 0) for b in range(dim)],
+                axis=0)
+            if not unit.any():
+                return None
+            st = int((rr - expect)[unit][0])
+            if st < lower:
+                return None
+            sts.append(st)
+            expect = expect + st * R[a]
+            lower = st * exts[a]
+        if not np.array_equal(rr, expect):
+            return None
+        # the d components of the group must be consecutive
+        if not np.array_equal(G, base[:, None] + np.arange(d)[None, :]):
+            return None
+        starts[j] = s
+        strides[j, :] = sts[::-1]  # (z,) (y,) x — x-stride >= d
+    if sentinel.all():
+        return None
+    # sentinel slots: park their (empty) slice window in the pad region
+    starts[sentinel] = nflat
+    return lex, _Block(exts, starts, strides, sentinel)
+
+
 def detect(patchset):
-    """Affine-slice detection (2D and 3D grids); StructuredLayout or
-    None.  The dof of component t of slot group j of the interior patch
-    at grid position (z, y, x) must satisfy EXACTLY
+    """Affine-slice detection; StructuredLayout or None.
 
-        dofs = s_j + bz_j*z + by_j*y + d*x + t
-
-    (no bz term in 2D); every check is against the actual dof table, so
-    unstructured meshes simply decline."""
+    Pass 1 (2D fast path): all max-size patches as ONE class.
+    Pass 2 (3D lattices): per-parity classes (z%2, y%2, x%2) — the
+    structured tet lattice has translation-equivalent stars only
+    within a parity class."""
     if not struct_patch_enabled():
         return None
     seeds = getattr(patchset, "seed_points", None)
@@ -130,67 +232,64 @@ def detect(patchset):
     if g is None:
         return None
     dim = len(g)
-    full = patchset.sizes == m
-    idx = np.where(full)[0]
-    if idx.size < 2 ** dim:
-        return None
-    # outer-major coordinate list: (z,) y, x
-    coords = [g[c][idx] for c in range(dim - 1, -1, -1)]
-    mins = [c.min() for c in coords]
-    exts = [int(c.max() - c.min() + 1) for c in coords]
-    if any(e < 2 for e in exts) or idx.size != int(np.prod(exts)):
-        return None
-    rel = [c - c.min() for c in coords]
-    bitmap = np.zeros(exts, dtype=bool)
-    bitmap[tuple(rel)] = True
-    if not bitmap.all():
-        return None
-    # interior patches in (z, y, x) lex order, x fastest
-    lex = idx[np.lexsort(tuple(rel[::-1]))]
-    R = [g[c][lex] - mins[dim - 1 - c] for c in range(dim - 1, -1, -1)]
-    X = R[-1].astype(np.int64)
-    D = patchset.dofs[lex]  # (ni, m) flat dofs, all active
-    md = m // d
-    starts = np.zeros(md, dtype=np.int64)
-    strides = np.zeros((md, dim - 1), dtype=np.int64)
-    for j in range(md):
-        base = D[:, j * d]
-        # solve base = s + sum_a stride_a * R_a + d*X exactly
-        r = base - d * X
-        origin = np.all([R[a] == 0 for a in range(dim - 1)], axis=0)
-        if not (r[origin] == r[origin][0]).all():
+    # outer-major coordinates: (z,) y, x
+    gco = [np.asarray(g[c], dtype=np.int64)
+           for c in range(dim - 1, -1, -1)]
+
+    def finish(pairs):
+        if not pairs:
             return None
-        s = int(r[origin][0])
-        rr = r - s
-        expect = np.zeros_like(rr)
-        # nested-window bound: each outer stride must cover the full
-        # window of the axis inside it (by >= d*nx, bz >= ny*by)
-        lower = d * exts[-1]
-        for a in range(dim - 2, -1, -1):  # Y, then (3D) Z
-            unit = np.all(
-                [R[b] == (1 if b == a else 0)
-                 for b in range(dim - 1)], axis=0)
-            if not unit.any():
-                return None
-            st = int((rr - expect)[unit][0])
-            if st < lower:
-                return None
-            strides[j, a] = st
-            expect = expect + st * R[a].astype(np.int64)
-            lower = st * exts[a]
-        if not np.array_equal(rr, expect):
-            return None
-        # the d components of the group must be consecutive
-        exp = base[:, None] + np.arange(d)[None, :]
-        if not np.array_equal(D[:, j * d:(j + 1) * d], exp):
-            return None
-        starts[j] = s
-    rest = np.setdiff1d(np.arange(patchset.npatches), lex,
-                        assume_unique=False)
-    order = np.concatenate([lex, rest])
-    pad = max(int((starts + exts[0] * strides[:, 0]).max())
-              - patchset.nflat, 0)
-    return StructuredLayout(order, lex.size, exts, starts, strides, pad)
+        lexes = [p[0] for p in pairs]
+        blocks = [p[1] for p in pairs]
+        sliced = np.concatenate(lexes)
+        rest = np.setdiff1d(np.arange(patchset.npatches), sliced,
+                            assume_unique=False)
+        order = np.concatenate([sliced, rest])
+        pad = 1
+        for b in blocks:
+            live = ~b.sentinel
+            if live.any():
+                pad = max(pad, int(
+                    (b.starts[live]
+                     + b.extents[0] * b.strides[live, 0]).max())
+                    - patchset.nflat)
+        return StructuredLayout(order, blocks, max(pad, 1))
+
+    # pass 1: single class of max-size patches (2D structured grids)
+    idx = np.where(patchset.sizes == m)[0]
+    if idx.size >= 2 ** dim:
+        got = _solve_block(patchset, idx, [c[idx] for c in gco])
+        if got is not None:
+            return finish([got])
+    if dim != 3:
+        return None
+    # pass 2: parity classes; only LATTICE-interior members are
+    # translation-equivalent (boundary stars are BC-truncated), and
+    # only within a parity class (the tet lattice repeats with
+    # period 2)
+    interior = np.ones(patchset.npatches, dtype=bool)
+    for c in gco:
+        interior &= (c > c.min()) & (c < c.max())
+    pairs = []
+    par = (gco[0] % 2) * 4 + (gco[1] % 2) * 2 + (gco[2] % 2)
+    for p in range(8):
+        cls = np.where((par == p) & interior)[0]
+        if cls.size < 2:
+            continue
+        # all interior members of a class must agree in size
+        sz = patchset.sizes[cls]
+        if not (sz == sz[0]).all():
+            continue
+        got = _solve_block(
+            patchset, cls, [(c[cls] - c[cls].min()) // 2 for c in gco])
+        if got is not None:
+            pairs.append(got)
+    total = sum(p[1].ni for p in pairs)
+    # worth reordering once a solid fraction is sliced (the fringe is
+    # surface-scaling, so this passes at production sizes)
+    if total < 0.3 * patchset.npatches:
+        return None
+    return finish(pairs)
 
 
 def reorder_patchset(patchset, order):
@@ -213,11 +312,7 @@ def gather_scatter(patchset, layout):
     m, d = patchset.m, patchset.space_d
     md = m // d
     ni = layout.ni
-    exts = layout.extents  # (ny, nx) or (nz, ny, nx)
-    dim = len(exts)
-    nx = exts[-1]
-    starts = [int(s) for s in layout.starts]
-    strides = [[int(b) for b in row] for row in layout.strides]
+    blocks = layout.blocks
     pad = int(layout.pad)
     nflat = patchset.nflat
     nb = patchset.npatches - ni
@@ -236,51 +331,87 @@ def gather_scatter(patchset, layout):
         bsum = make_gather_sum(pos, bd.size)
         bd_j = jnp.asarray(bd)
 
+    def _gather_block(rpad, b):
+        """(m, ni_b) for one class: slot windows are dense slices; the
+        per-position d components sit at stride sx >= d."""
+        exts = b.extents
+        dim = len(exts)
+        nx = exts[-1]
+        parts = []
+        for j in range(md):
+            if b.sentinel[j]:
+                parts.append(jnp.zeros((d, b.ni), dtype=rpad.dtype))
+                continue
+            s = int(b.starts[j])
+            row = [int(v) for v in b.strides[j]]
+            sx = row[-1]
+            if dim == 2:
+                by = row[0]
+                ny = exts[0]
+                seg = rpad[s:s + ny * by].reshape(ny, by)
+                seg = seg[:, :nx * sx].reshape(ny, nx, sx)[:, :, :d]
+            else:
+                bz, by = row[0], row[1]
+                nz, ny = exts[0], exts[1]
+                seg = rpad[s:s + nz * bz].reshape(nz, bz)
+                seg = seg[:, :ny * by].reshape(nz, ny, by)
+                seg = seg[:, :, :nx * sx].reshape(nz, ny, nx, sx)[
+                    ..., :d]
+            parts.append(seg.reshape(b.ni, d).T)
+        return jnp.concatenate(parts, axis=0)  # (m, ni_b)
+
+    def _scatter_block(xi, b, total, dtype):
+        exts = b.extents
+        dim = len(exts)
+        nx = exts[-1]
+        out = jnp.zeros((total,), dtype=dtype)
+        for j in range(md):
+            if b.sentinel[j]:
+                continue
+            s = int(b.starts[j])
+            row = [int(v) for v in b.strides[j]]
+            sx = row[-1]
+            if dim == 2:
+                by = row[0]
+                ny = exts[0]
+                seg = xi[j * d:(j + 1) * d].T.reshape(ny, nx, d)
+                seg = jnp.pad(seg, ((0, 0), (0, 0), (0, sx - d)))
+                seg = seg.reshape(ny, nx * sx)
+                seg = jnp.pad(seg, ((0, 0), (0, by - nx * sx)))
+                win = ny * by
+            else:
+                bz, by = row[0], row[1]
+                nz, ny = exts[0], exts[1]
+                seg = xi[j * d:(j + 1) * d].T.reshape(nz, ny, nx, d)
+                seg = jnp.pad(seg,
+                              ((0, 0), (0, 0), (0, 0), (0, sx - d)))
+                seg = seg.reshape(nz, ny, nx * sx)
+                seg = jnp.pad(seg, ((0, 0), (0, 0), (0, by - nx * sx)))
+                seg = seg.reshape(nz, ny * by)
+                seg = jnp.pad(seg, ((0, 0), (0, bz - ny * by)))
+                win = nz * bz
+            out = out + jnp.pad(
+                seg.reshape(win), (s, total - s - win))
+        return out
+
     def gather(r_flat):
         rpad = jnp.concatenate(
             [r_flat, jnp.zeros((pad + 1,), dtype=r_flat.dtype)])
-        parts = []
-        for j in range(md):
-            s = starts[j]
-            if dim == 2:
-                (by,) = strides[j]
-                ny = exts[0]
-                seg = rpad[s:s + ny * by].reshape(ny, by)[:, :d * nx]
-            else:
-                bz, by = strides[j]
-                nz, ny = exts[0], exts[1]
-                seg = rpad[s:s + nz * bz].reshape(nz, bz)
-                seg = seg[:, :ny * by].reshape(nz, ny, by)[:, :, :d * nx]
-            # (..., nx, d) -> (d, ni): component t of slot group j
-            parts.append(seg.reshape(ni, d).T)
-        xi = jnp.concatenate(parts, axis=0)  # (m, ni)
+        xi = jnp.concatenate([_gather_block(rpad, b) for b in blocks],
+                             axis=1)  # (m, ni)
         if not nb:
             return xi
         xb = rpad[:nflat + 1][dofs_b].T  # (m, nb)
         return jnp.concatenate([xi, xb], axis=1)
 
     def scatter(xp, dtype):
-        xi = xp[:, :ni].astype(dtype)
         total = nflat + pad
         out = jnp.zeros((total,), dtype=dtype)
-        for j in range(md):
-            s = starts[j]
-            if dim == 2:
-                (by,) = strides[j]
-                ny = exts[0]
-                seg = xi[j * d:(j + 1) * d].T.reshape(ny, d * nx)
-                seg = jnp.pad(seg, ((0, 0), (0, by - d * nx)))
-                win = ny * by
-            else:
-                bz, by = strides[j]
-                nz, ny = exts[0], exts[1]
-                seg = xi[j * d:(j + 1) * d].T.reshape(nz, ny, d * nx)
-                seg = jnp.pad(seg, ((0, 0), (0, 0), (0, by - d * nx)))
-                seg = seg.reshape(nz, ny * by)
-                seg = jnp.pad(seg, ((0, 0), (0, bz - ny * by)))
-                win = nz * bz
-            out = out + jnp.pad(
-                seg.reshape(win), (s, total - s - win))
+        off = 0
+        for b in blocks:
+            out = out + _scatter_block(
+                xp[:, off:off + b.ni].astype(dtype), b, total, dtype)
+            off += b.ni
         out = out[:nflat]
         if nb:
             xb = jnp.where(active_b, xp[:, ni:].T, 0).astype(dtype)

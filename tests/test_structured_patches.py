@@ -115,3 +115,58 @@ def test_e2e_iteration_parity(monkeypatch):
     without = run()
     assert all(c for _, c, _, _ in with_struct)
     assert with_struct == without
+
+
+# ----------------------------------------------------------------------
+# 3D: per-parity-class slicing (opt-in ALFI_TPU_GEOM_NUMBERING_3D)
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ldc3d_level():
+    import os
+
+    os.environ["ALFI_TPU_GEOM_NUMBERING_3D"] = "1"
+    try:
+        from alfi_tpu.problems import ThreeDimLidDrivenCavityProblem
+
+        s = ConstantPressureSolver(
+            ThreeDimLidDrivenCavityProblem(4), nref=1, k=2,
+            solver_type="almg", hierarchy="uniform", verbose=False)
+        yield s.vmg.levels[-1]
+    finally:
+        os.environ.pop("ALFI_TPU_GEOM_NUMBERING_3D", None)
+
+
+def test_detects_3d_parity_classes(ldc3d_level):
+    """The structured tet lattice slices per parity class: the whole
+    interior (here 7^3 = 343 of 729 stars, all 8 classes) is sliced."""
+    lev = ldc3d_level
+    ps = star_patches(lev.V, np.asarray(lev.mask_flat))
+    lay = structured.detect(ps)
+    assert lay is not None
+    assert lay.ni == 343
+    assert len(lay.blocks) == 8
+
+
+def test_structured_apply_matches_generic_3d(ldc3d_level, monkeypatch):
+    lev = ldc3d_level
+    ps1 = star_patches(lev.V, np.asarray(lev.mask_flat))
+    ps2 = star_patches(lev.V, np.asarray(lev.mask_flat))
+    monkeypatch.setenv("ALFI_TPU_STRUCT_PATCH", "1")
+    f1, a1 = build_patch_solver(ps1)
+    assert getattr(ps1._fs, "batch_axis", 0) == -1  # structured ran
+    monkeypatch.setenv("ALFI_TPU_STRUCT_PATCH", "0")
+    f2, a2 = build_patch_solver(ps2)
+
+    nc = lev.V.mesh.num_cells
+    nld = lev.V.cell_dofs.shape[1] * lev.V.value_size
+    rng = np.random.default_rng(3)
+    T = rng.standard_normal((nc, nld, nld))
+    T = T + np.transpose(T, (0, 2, 1)) + 60 * np.eye(nld)
+    Tj = jnp.asarray(T)
+    r = jnp.asarray(rng.standard_normal(ps1.nflat))
+    x1 = np.asarray(a1(f1(Tj), r))
+    x2 = np.asarray(a2(f2(Tj), r))
+    err = np.abs(x1 - x2).max() / np.abs(x2).max()
+    assert err < 1e-11, err
