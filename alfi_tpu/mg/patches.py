@@ -636,7 +636,8 @@ def _structured_fs():
     if isinstance(base, _ExplicitInverseFactorization):
         return _ExplicitInverseFactorization(
             base.apply_dtype, transposed=True,
-            use_pallas=base.use_pallas)
+            use_pallas=base.use_pallas,
+            promote=getattr(base, "promote", False))
     # CPU native-LU base (no patch-minor form): explicit f64 inverses,
     # the same construction the TPU default uses
     return _ExplicitInverseFactorization(None, transposed=True)
