@@ -142,14 +142,24 @@ def mg_store():
     perturbation (absorbed by flexible GMRES like the Woodbury f32
     factorisation) that halves the dominant HBM traffic of every level
     matvec.  XLA fuses the widening converts into the loads, so the
-    stream stays f32 bytes.  Opt-in: ALFI_TPU_MG_STORE=f32."""
+    stream stays f32 bytes.
+
+    Default on TPU (round 4): f32 — the acceptance gate (VERDICT r3
+    item 2) passed with ITERATION-EXACT Krylov counts vs the f64
+    control on the ldc2d nref=2 high-Re sweep
+    (results/logs/iters_ldc2d_nref2_re10000_s32full.log vs
+    results/logs/iters_ldc2d_nref2_re10000.log).  CPU keeps the
+    compute dtype (f64 is native there; no bandwidth win to buy).
+    Override with ALFI_TPU_MG_STORE=f64."""
     global _mg_store
     if _mg_store is None:
         env = os.environ.get("ALFI_TPU_MG_STORE")
         if env:
             _mg_store = {"f32": jnp.float32, "f64": jnp.float64}[env]
-        else:
+        elif jax.default_backend() == "cpu":
             _mg_store = mg_dtype()
+        else:
+            _mg_store = jnp.float32
     return _mg_store
 
 

@@ -154,18 +154,28 @@ def run_solver(solver, res, args):
                     # legacy checkpoint of a DIVERGED solve (pre-fix
                     # runs stored them): retry instead of loading
                     raise KeyError("diverged checkpoint")
-                stored_numbering = (str(chk["numbering"])
-                                    if "numbering" in chk.files
-                                    else "legacy0")
-                if stored_numbering != _numbering_tag():
-                    # dof vectors are permutation-laid-out: loading a
-                    # checkpoint written under a different entity
-                    # numbering would silently scramble the state
-                    # (scripts/convert_checkpoints.py migrates)
-                    raise KeyError("numbering mismatch: %s != %s"
-                                   % (stored_numbering,
-                                      _numbering_tag()))
-                solver.z = (jnp.asarray(chk["u"]), jnp.asarray(chk["p"]))
+                if "u" in chk.files:
+                    stored_numbering = (str(chk["numbering"])
+                                        if "numbering" in chk.files
+                                        else "legacy0")
+                    if stored_numbering != _numbering_tag():
+                        # dof vectors are permutation-laid-out: loading
+                        # a checkpoint written under a different entity
+                        # numbering would silently scramble the state
+                        # (scripts/convert_checkpoints.py migrates)
+                        raise KeyError("numbering mismatch: %s != %s"
+                                       % (stored_numbering,
+                                          _numbering_tag()))
+                    solver.z = (jnp.asarray(chk["u"]),
+                                jnp.asarray(chk["p"]))
+                elif "linear_iter" not in chk.files:
+                    raise KeyError("empty checkpoint")
+                # else: TABLE-ONLY checkpoint (scripts/queue.py
+                # distills finished steps to their info dict so a
+                # sweep's committed resume state is one full npz — the
+                # continuation frontier — plus O(100-byte) table rows;
+                # the solve state for later steps comes from the full
+                # frontier npz, which sorts after every table row)
                 # checkpoints carry the solve's info dict so resumed
                 # sweeps reproduce the TRUE iteration/time tables; old
                 # solution-only checkpoints fall back to placeholders

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -290,6 +291,94 @@ def solves_in_current_attempt(log):
     return sum("Nonlinear solve converged" in ln for ln in lines[last:])
 
 
+RESUME = os.path.join(REPO, "results", "resume")
+_TABLE_ONLY_MAX = 4096  # a table-only npz is O(1 KB); full state is MBs
+
+
+def _seed_checkpoints(name):
+    """Re-populate a stage's (gitignored, session-volatile) checkpoint
+    dir from the COMMITTED compact resume state, so a sweep survives
+    the machine being re-imaged between sessions (round 4 lost the
+    nref=3/bfs3d/svbase1 tails exactly this way)."""
+    src = os.path.join(RESUME, name)
+    if not os.path.isdir(src):
+        return
+    for dofs in os.listdir(src):
+        sd = os.path.join(src, dofs)
+        dd = os.path.join(REPO, "results", "checkpoint_" + name, dofs)
+        os.makedirs(dd, exist_ok=True)
+        for f in os.listdir(sd):
+            t = os.path.join(dd, f)
+            if not os.path.exists(t):
+                shutil.copy2(os.path.join(sd, f), t)
+
+
+def _distill_checkpoints(name):
+    """Distill a stage's checkpoint dir into results/resume/<name>:
+    the continuation FRONTIER (max-Re converged step) keeps its full
+    u/p state; every earlier step shrinks to its info dict (the
+    driver's table-only checkpoint form), so the committed resume
+    state is one npz of state + O(100-byte) table rows per sweep."""
+    import numpy as np
+
+    src = os.path.join(REPO, "results", "checkpoint_" + name)
+    if not os.path.isdir(src):
+        return
+    for dofs in os.listdir(src):
+        sd = os.path.join(src, dofs)
+        if not os.path.isdir(sd):
+            continue
+        rows = []
+        for f in os.listdir(sd):
+            if (f.startswith("nssolution-Re-") and f.endswith(".npz")
+                    and ".tmp" not in f):
+                try:
+                    rows.append((float(f[14:-4]), f))
+                except ValueError:
+                    pass
+        if not rows:
+            continue
+        rows.sort()
+        frontier = rows[-1][1]
+        dd = os.path.join(RESUME, name, dofs)
+        os.makedirs(dd, exist_ok=True)
+        shutil.copy2(os.path.join(sd, frontier),
+                     os.path.join(dd, frontier))
+        for _, f in rows[:-1]:
+            out = os.path.join(dd, f)
+            if (os.path.exists(out)
+                    and os.path.getsize(out) <= _TABLE_ONLY_MAX):
+                continue
+            with np.load(os.path.join(sd, f)) as chk:
+                info = {k: chk[k] for k in chk.files
+                        if k not in ("u", "p", "numbering")}
+            tmp = out + ".tmp%d" % os.getpid()
+            np.savez(tmp, **info)
+            os.replace(tmp + ".npz", out)
+        # shrink any SUPERSEDED frontier already in resume/ (its info
+        # keys are self-contained, so rewrite from its own content);
+        # anything at or past the current frontier Re is left alone —
+        # a resume dir can legitimately be AHEAD of a fresh partial
+        # checkpoint dir, and shrinking that state would lose it
+        for f in os.listdir(dd):
+            if not (f.startswith("nssolution-Re-")
+                    and f.endswith(".npz") and ".tmp" not in f):
+                continue
+            try:
+                f_re = float(f[14:-4])
+            except ValueError:
+                continue
+            p = os.path.join(dd, f)
+            if (f_re < rows[-1][0]
+                    and os.path.getsize(p) > _TABLE_ONLY_MAX):
+                with np.load(p) as chk:
+                    info = {k: chk[k] for k in chk.files
+                            if k not in ("u", "p", "numbering")}
+                tmp = p + ".tmp%d" % os.getpid()
+                np.savez(tmp, **info)
+                os.replace(tmp + ".npz", p)
+
+
 def run_stage(s):
     name = s["name"]
     done = os.path.join(LOGS, ".done_" + name)
@@ -305,6 +394,7 @@ def run_stage(s):
         f.write("%s %s %s [%s]\n" % (
             MARKER, name, time.strftime("%F %T", time.gmtime()),
             platform))
+    _seed_checkpoints(name)
     env = dict(os.environ, **s["env"])
     cmd = [SNAP, name] + s["cmd"]
     if platform == "cpu":
@@ -320,6 +410,7 @@ def run_stage(s):
                                 cwd=REPO).returncode
         except subprocess.TimeoutExpired:
             rc = -1
+    _distill_checkpoints(name)
     if rc == 0:
         open(done, "w").write("exit 0\n")
         partial = os.path.join(LOGS, ".partial_" + name)

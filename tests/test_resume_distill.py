@@ -1,0 +1,117 @@
+"""Compact committed resume state for long sweeps.
+
+Round 4 lost three multi-hour continuation tails (2D nref=3, bfs3d,
+svbase1) because checkpoint dirs are gitignored and the machine is
+re-imaged between sessions.  The fix is two-sided:
+
+ * driver.run_solver accepts TABLE-ONLY checkpoints (info dict, no
+   u/p): the step is reported as checkpointed without touching
+   solver.z, so a sweep's resume state can be ONE full npz (the
+   continuation frontier) plus O(100-byte) table rows;
+ * scripts/queue.py distills checkpoint_<name>/ into the committed
+   results/resume/<name>/ after every attempt and re-seeds the
+   checkpoint dir from it before every attempt.
+
+Reference recovery model: /root/reference/alfi/driver.py:111-120
+(DumbCheckpoint per-Re load-else-solve).
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+
+from alfi_tpu import ConstantPressureSolver
+from alfi_tpu.driver import get_default_parser, run_solver
+from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+
+def _tiny_solver():
+    return ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(4), nref=1, k=2,
+        solver_type="almg", hierarchy="uniform", gamma=1e4,
+        verbose=False)
+
+
+def _args():
+    parser = get_default_parser()
+    args, _ = parser.parse_known_args(
+        ["--discretisation", "pkp0", "--checkpoint"])
+    return args
+
+
+def test_table_only_checkpoint_resume(monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    s = _tiny_solver()
+    results = run_solver(s, [1, 10], _args())
+    chkptdir = tmp_path / ("checkpoint/%i" % s.Z.dim)
+
+    # distill by hand: Re=1 -> table-only, Re=10 keeps full state
+    with np.load(chkptdir / "nssolution-Re-1.npz") as chk:
+        info = {k: chk[k] for k in chk.files
+                if k not in ("u", "p", "numbering")}
+    np.savez(chkptdir / "nssolution-Re-1.npz", **info)
+
+    s2 = _tiny_solver()
+    z0 = s2.z
+    results2 = run_solver(s2, [1, 10, 20], _args())
+    # Re=1: table row honoured, no state load, no re-solve
+    assert results2[1]["checkpointed"]
+    assert results2[1]["linear_iter"] == results[1]["linear_iter"]
+    # Re=10: full frontier state loaded
+    assert results2[10]["checkpointed"]
+    assert not np.allclose(np.asarray(s2.z[0]), np.asarray(z0[0]))
+    # Re=20: fresh solve warm-started from the frontier state
+    assert results2[20]["converged"]
+    assert not results2[20].get("checkpointed", False)
+
+
+def _load_queue_mod():
+    spec = importlib.util.spec_from_file_location(
+        "alfi_queue", os.path.join(os.path.dirname(__file__),
+                                   os.pardir, "scripts", "queue.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_queue_distill_and_seed_roundtrip(monkeypatch, tmp_path):
+    queue = _load_queue_mod()
+    monkeypatch.setattr(queue, "REPO", str(tmp_path))
+    monkeypatch.setattr(queue, "RESUME", str(tmp_path / "resume"))
+
+    ck = tmp_path / "results" / "checkpoint_stg" / "1234"
+    ck.mkdir(parents=True)
+    big = np.zeros(65536)
+    for re, it in [(1, 6), (10, 5), (100, 9)]:
+        np.savez(ck / ("nssolution-Re-%d.npz" % re), u=big, p=big,
+                 numbering="n0", nu=2.0 / re, linear_iter=it,
+                 nonlinear_iter=2, time=1.0, converged=True)
+
+    queue._distill_checkpoints("stg")
+    rd = tmp_path / "resume" / "stg" / "1234"
+    assert (rd / "nssolution-Re-100.npz").stat().st_size > 65536
+    for re in (1, 10):
+        p = rd / ("nssolution-Re-%d.npz" % re)
+        assert p.stat().st_size <= queue._TABLE_ONLY_MAX
+        with np.load(p) as chk:
+            assert "u" not in chk.files
+            assert int(chk["linear_iter"]) in (5, 6)
+
+    # frontier advances: the old full frontier in resume/ shrinks
+    np.savez(ck / "nssolution-Re-200.npz", u=big, p=big,
+             numbering="n0", nu=0.01, linear_iter=7,
+             nonlinear_iter=2, time=1.0, converged=True)
+    queue._distill_checkpoints("stg")
+    assert (rd / "nssolution-Re-200.npz").stat().st_size > 65536
+    assert ((rd / "nssolution-Re-100.npz").stat().st_size
+            <= queue._TABLE_ONLY_MAX)
+
+    # wipe the checkpoint dir (the session re-image) and re-seed
+    import shutil
+
+    shutil.rmtree(tmp_path / "results" / "checkpoint_stg")
+    queue._seed_checkpoints("stg")
+    assert (ck / "nssolution-Re-200.npz").stat().st_size > 65536
+    with np.load(ck / "nssolution-Re-1.npz") as chk:
+        assert "u" not in chk.files
