@@ -156,10 +156,13 @@ def mg_store():
         env = os.environ.get("ALFI_TPU_MG_STORE")
         if env:
             _mg_store = {"f32": jnp.float32, "f64": jnp.float64}[env]
-        elif jax.default_backend() == "cpu":
-            _mg_store = mg_dtype()
-        else:
+        elif jax.default_backend() == "tpu":
+            # the f32-storage gate evidence is TPU (where the HBM win
+            # pays for it); other accelerators inherit the compute
+            # dtype until they get their own acceptance run (ADVICE r4)
             _mg_store = jnp.float32
+        else:
+            _mg_store = mg_dtype()
     return _mg_store
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import zipfile
 
 import numpy as np
 
@@ -133,6 +134,44 @@ def _numbering_tag():
     return tag
 
 
+def _nearest_full_checkpoint(chkptdir, re_lo, re_hi):
+    """Largest-Re FULL (u/p, converged, numbering-matching) checkpoint
+    with re_lo < Re < re_hi, or None.  Used to warm-start a cache-miss
+    re-solve BELOW the continuation frontier: with table-only distilled
+    checkpoints (scripts/queue.py) the loop never touches solver.z for
+    finished rows, so a gap row would otherwise start from the cold
+    initial guess and likely diverge at high Re (ADVICE r4, medium)."""
+    best = None
+    try:
+        names = os.listdir(chkptdir)
+    except OSError:
+        return None
+    for f in names:
+        if not (f.startswith("nssolution-Re-") and f.endswith(".npz")
+                and ".tmp" not in f):
+            continue
+        try:
+            f_re = float(f[len("nssolution-Re-"):-len(".npz")])
+        except ValueError:
+            continue
+        if not (re_lo < f_re < re_hi):
+            continue
+        if best is not None and f_re <= best[0]:
+            continue
+        try:
+            with np.load(os.path.join(chkptdir, f)) as chk:
+                if ("u" in chk.files
+                        and (bool(chk["converged"])
+                             if "converged" in chk.files else True)
+                        and (str(chk["numbering"])
+                             if "numbering" in chk.files else "legacy0")
+                        == _numbering_tag()):
+                    best = (f_re, chk["u"], chk["p"])
+        except Exception:
+            continue  # truncated/corrupt npz: not a warm-start source
+    return best
+
+
 def run_solver(solver, res, args):
     problemsize = solver.Z.dim
     outdir = "output/%i/" % problemsize
@@ -143,6 +182,7 @@ def run_solver(solver, res, args):
     if args.checkpoint:
         os.makedirs(chkptdir, exist_ok=True)
     results = {}
+    warm_re = float("-inf")  # Re whose state solver.z currently holds
     for re in res:
         path = chkptdir + "nssolution-Re-%s.npz" % re
         try:
@@ -168,6 +208,7 @@ def run_solver(solver, res, args):
                                           _numbering_tag()))
                     solver.z = (jnp.asarray(chk["u"]),
                                 jnp.asarray(chk["p"]))
+                    warm_re = re
                 elif "linear_iter" not in chk.files:
                     raise KeyError("empty checkpoint")
                 # else: TABLE-ONLY checkpoint (scripts/queue.py
@@ -189,8 +230,26 @@ def run_solver(solver, res, args):
                             "nonlinear_iter": 0, "time": 0.0,
                             "converged": True}
             results[re] = dict(info, Re=re, checkpointed=True)
-        except (FileNotFoundError, OSError, KeyError):
+        except (FileNotFoundError, OSError, KeyError, ValueError,
+                zipfile.BadZipFile):
+            # BadZipFile/ValueError: a truncated npz (interrupted copy)
+            # must trigger a re-solve, not crash the sweep (ADVICE r4)
+            if args.checkpoint and warm_re < re:
+                # cache miss below the frontier: solver.z may still be
+                # cold (all earlier rows were table-only) — warm-start
+                # from the nearest lower full checkpoint if one exists
+                found = _nearest_full_checkpoint(chkptdir, warm_re, re)
+                if found is not None:
+                    import jax.numpy as jnp
+
+                    print("Warm-starting Re = %s from checkpoint "
+                          "Re = %g" % (re, found[0]))
+                    solver.z = (jnp.asarray(found[1]),
+                                jnp.asarray(found[2]))
+                    warm_re = found[0]
             z, info_dict = solver.solve(re)
+            if info_dict.get("converged", True):
+                warm_re = re
             results[re] = info_dict
             # never checkpoint a diverged solve: the stored z would be
             # garbage and a resumed sweep would "skip" the failed Re

@@ -308,6 +308,8 @@ def _seed_checkpoints(name):
         dd = os.path.join(REPO, "results", "checkpoint_" + name, dofs)
         os.makedirs(dd, exist_ok=True)
         for f in os.listdir(sd):
+            if ".tmp" in f:  # leftover from a crashed distill
+                continue
             t = os.path.join(dd, f)
             if not os.path.exists(t):
                 shutil.copy2(os.path.join(sd, f), t)
@@ -330,8 +332,13 @@ def _distill_checkpoints(name):
             continue
         rows = []
         for f in os.listdir(sd):
-            if (f.startswith("nssolution-Re-") and f.endswith(".npz")
-                    and ".tmp" not in f):
+            if ".tmp" in f:  # stale intermediate from a crashed write
+                try:
+                    os.unlink(os.path.join(sd, f))
+                except OSError:
+                    pass
+                continue
+            if f.startswith("nssolution-Re-") and f.endswith(".npz"):
                 try:
                     rows.append((float(f[14:-4]), f))
                 except ValueError:
@@ -339,19 +346,53 @@ def _distill_checkpoints(name):
         if not rows:
             continue
         rows.sort()
-        frontier = rows[-1][1]
+        # the frontier must be a USABLE warm-start: full u/p state and
+        # converged — a legacy diverged/table-only npz at the top of
+        # the dir would otherwise become a resume state the driver
+        # refuses, stranding the sweep (ADVICE r4)
+        def _is_full(path):
+            try:
+                with np.load(path) as chk:
+                    return ("u" in chk.files
+                            and (bool(chk["converged"])
+                                 if "converged" in chk.files else True))
+            except Exception:
+                return False
+
+        fi = len(rows) - 1
+        while fi >= 0 and not _is_full(os.path.join(sd, rows[fi][1])):
+            fi -= 1
+        if fi < 0:
+            frontier = None
+            tail = rows
+        else:
+            frontier = rows[fi][1]
+            tail = rows[:fi] + rows[fi + 1:]
         dd = os.path.join(RESUME, name, dofs)
         os.makedirs(dd, exist_ok=True)
-        shutil.copy2(os.path.join(sd, frontier),
-                     os.path.join(dd, frontier))
-        for _, f in rows[:-1]:
+        for f in os.listdir(dd):
+            if ".tmp" in f:
+                try:
+                    os.unlink(os.path.join(dd, f))
+                except OSError:
+                    pass
+        if frontier is not None:
+            # atomic: an interrupt mid-copy must not commit a
+            # truncated npz as the resume frontier (ADVICE r4)
+            tmp = os.path.join(dd, frontier + ".tmp%d" % os.getpid())
+            shutil.copy2(os.path.join(sd, frontier), tmp)
+            os.replace(tmp, os.path.join(dd, frontier))
+        for _, f in tail:
             out = os.path.join(dd, f)
             if (os.path.exists(out)
                     and os.path.getsize(out) <= _TABLE_ONLY_MAX):
                 continue
-            with np.load(os.path.join(sd, f)) as chk:
-                info = {k: chk[k] for k in chk.files
-                        if k not in ("u", "p", "numbering")}
+            try:
+                with np.load(os.path.join(sd, f)) as chk:
+                    info = {k: chk[k] for k in chk.files
+                            if k not in ("u", "p", "numbering")}
+            except Exception:
+                continue  # corrupt npz: nothing distillable
             tmp = out + ".tmp%d" % os.getpid()
             np.savez(tmp, **info)
             os.replace(tmp + ".npz", out)
@@ -369,11 +410,14 @@ def _distill_checkpoints(name):
             except ValueError:
                 continue
             p = os.path.join(dd, f)
-            if (f_re < rows[-1][0]
+            if (frontier is not None and f_re < rows[fi][0]
                     and os.path.getsize(p) > _TABLE_ONLY_MAX):
-                with np.load(p) as chk:
-                    info = {k: chk[k] for k in chk.files
-                            if k not in ("u", "p", "numbering")}
+                try:
+                    with np.load(p) as chk:
+                        info = {k: chk[k] for k in chk.files
+                                if k not in ("u", "p", "numbering")}
+                except Exception:
+                    continue
                 tmp = p + ".tmp%d" % os.getpid()
                 np.savez(tmp, **info)
                 os.replace(tmp + ".npz", p)

@@ -66,6 +66,59 @@ def test_table_only_checkpoint_resume(monkeypatch, tmp_path):
     assert not results2[20].get("checkpointed", False)
 
 
+class _FakeSolver:
+    """Minimal run_solver contract: records the state each solve
+    starts from, so warm-start behaviour is directly observable."""
+
+    def __init__(self, dim=777):
+        import types
+
+        self.Z = types.SimpleNamespace(dim=dim)
+        self.z = (np.zeros(8), np.zeros(3))
+        self.start_states = {}
+
+    def solve(self, re):
+        self.start_states[re] = np.array(self.z[0])
+        self.z = (np.full(8, float(re)), np.zeros(3))
+        return self.z, {"Re": re, "nu": 1.0 / re, "linear_iter": 4,
+                        "nonlinear_iter": 2, "time": 0.1,
+                        "converged": True}
+
+
+def test_warm_start_below_frontier(monkeypatch, tmp_path):
+    """ADVICE r4 (medium): a cache-miss re-solve below the frontier
+    must warm-start from the nearest lower FULL checkpoint instead of
+    the cold initial guess (table-only rows never touch solver.z)."""
+    from alfi_tpu.driver import _numbering_tag
+
+    monkeypatch.chdir(tmp_path)
+    s = _FakeSolver()
+    ck = tmp_path / ("checkpoint/%d" % s.Z.dim)
+    ck.mkdir(parents=True)
+    # Re=1: full, converged.  Re=10: table-only.  Re=5: MISSING.
+    np.savez(ck / "nssolution-Re-1.npz", u=np.full(8, 1.0),
+             p=np.zeros(3), numbering=_numbering_tag(), nu=1.0,
+             linear_iter=3, nonlinear_iter=1, time=0.1, converged=True)
+    np.savez(ck / "nssolution-Re-10.npz", nu=0.1, linear_iter=5,
+             nonlinear_iter=2, time=0.1, converged=True)
+    results = run_solver(s, [1, 5, 10], _args())
+    assert results[1]["checkpointed"] and results[10]["checkpointed"]
+    # the Re=5 solve started from the Re=1 state, not from zero
+    assert np.allclose(s.start_states[5], 1.0)
+
+
+def test_truncated_checkpoint_resolves(monkeypatch, tmp_path):
+    """A truncated npz (interrupted copy) must re-solve, not crash."""
+    monkeypatch.chdir(tmp_path)
+    s = _FakeSolver()
+    ck = tmp_path / ("checkpoint/%d" % s.Z.dim)
+    ck.mkdir(parents=True)
+    (ck / "nssolution-Re-1.npz").write_bytes(b"PK\x03\x04garbage")
+    results = run_solver(s, [1], _args())
+    assert results[1]["converged"]
+    assert 1 in s.start_states  # it actually solved
+
+
 def _load_queue_mod():
     spec = importlib.util.spec_from_file_location(
         "alfi_queue", os.path.join(os.path.dirname(__file__),
@@ -115,3 +168,33 @@ def test_queue_distill_and_seed_roundtrip(monkeypatch, tmp_path):
     assert (ck / "nssolution-Re-200.npz").stat().st_size > 65536
     with np.load(ck / "nssolution-Re-1.npz") as chk:
         assert "u" not in chk.files
+
+
+def test_queue_distill_frontier_skips_unusable(monkeypatch, tmp_path):
+    """ADVICE r4: the committed frontier must be a USABLE warm start —
+    max-Re FULL+converged — not whatever npz sorts last (a diverged
+    full checkpoint or a table-only row at the top of the dir)."""
+    queue = _load_queue_mod()
+    monkeypatch.setattr(queue, "REPO", str(tmp_path))
+    monkeypatch.setattr(queue, "RESUME", str(tmp_path / "resume"))
+
+    ck = tmp_path / "results" / "checkpoint_stg" / "99"
+    ck.mkdir(parents=True)
+    big = np.zeros(65536)
+    np.savez(ck / "nssolution-Re-10.npz", u=big, p=big, numbering="n0",
+             nu=0.2, linear_iter=5, nonlinear_iter=2, time=1.0,
+             converged=True)
+    # top-of-dir full checkpoint of a DIVERGED solve (legacy runs)
+    np.savez(ck / "nssolution-Re-20.npz", u=big, p=big, numbering="n0",
+             nu=0.1, linear_iter=0, nonlinear_iter=1, time=0.1,
+             converged=False)
+    # stale tmp intermediate from a crashed write
+    (ck / "nssolution-Re-30.npz.tmp123.npz").write_bytes(b"PK")
+    queue._distill_checkpoints("stg")
+    rd = tmp_path / "resume" / "stg" / "99"
+    # frontier = Re=10 (full), Re=20 distilled to its table row
+    assert (rd / "nssolution-Re-10.npz").stat().st_size > 65536
+    assert ((rd / "nssolution-Re-20.npz").stat().st_size
+            <= queue._TABLE_ONLY_MAX)
+    assert not any(".tmp" in f for f in os.listdir(rd))
+    assert not any(".tmp" in f for f in os.listdir(ck))
