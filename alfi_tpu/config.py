@@ -171,6 +171,52 @@ def set_mg_store(dtype):
     _mg_store = dtype
 
 
+_mg_smooth = None
+
+
+def mg_smooth_dtype():
+    """COMPUTE dtype of the level smoother's inner Krylov loop
+    (defect-correction mixed precision, VERDICT r4 item 2).
+
+    The round-4 bisect localised the f32 cycle's parity loss to f32
+    VECTOR arithmetic (scripts/diag_f32_tail.py: 31 vs 15 Krylov its at
+    Re=700 no matter which STORED state stays f64).  The classical
+    mixed-precision-MG answer is defect correction: keep every
+    RESIDUAL/correction accumulation (b - Ax, restrict, prolong-add,
+    coarse) in f64, and run only the inner fixed-iteration smoother on
+    the DEFECT in f32 — the smoother's output is a correction whose
+    f32 rounding is RELATIVE to the defect it smooths, so the cycle's
+    contraction factor survives while the m matvecs + patch applies +
+    Arnoldi arithmetic per level run on the native-f32 VPU/MXU instead
+    of 3-10x-cost emulated f64 (mg/velocity.py _smooth).
+
+    Default: the cycle dtype (f64) until the acceptance gate —
+    iteration-count parity vs the f64 control on the high-Re ldc2d
+    nref=2 sweep plus a 3D bench A/B at identical counts — is
+    measured; opt in with ALFI_TPU_MG_SMOOTH_DTYPE=f32."""
+    global _mg_smooth
+    if _mg_smooth is None:
+        env = os.environ.get("ALFI_TPU_MG_SMOOTH_DTYPE")
+        if env:
+            _mg_smooth = {"f32": jnp.float32, "f64": jnp.float64}[env]
+            if (_mg_smooth == jnp.float32
+                    and jax.default_backend() not in ("cpu",)):
+                # the inner smoother runs f32 einsums on the MXU: pin
+                # full f32 matmul precision (default would use bf16
+                # inputs — measured 86 vs 31 its at Re=700, mg_dtype)
+                prec = os.environ.get("ALFI_TPU_MATMUL_PRECISION",
+                                      "highest")
+                jax.config.update("jax_default_matmul_precision", prec)
+        else:
+            _mg_smooth = mg_dtype()
+    return _mg_smooth
+
+
+def set_mg_smooth_dtype(dtype):
+    global _mg_smooth
+    _mg_smooth = dtype
+
+
 _use_woodbury = None
 
 

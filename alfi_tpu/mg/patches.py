@@ -561,7 +561,7 @@ def _scalar_pair_dofs(patchset, d):
 def _gather_scatter(patchset, transposed=False):
     """Patch gather/scatter closures; ``transposed=True`` works in the
     patch-minor (m, np) vector layout used by the transposed-inverse
-    apply (solvers/patch_pallas.py) — the gather produces it directly
+    apply (solvers/batched_lu.apply_transposed_xla) — the gather produces it directly
     from the transposed dof table, so no on-device relayout happens.
 
     The batch-major path fetches d-VECTOR ROWS of the (ndof, d) view
@@ -622,7 +622,7 @@ def _gather_scatter(patchset, transposed=False):
 
 def _structured_fs():
     """Patch-minor factorisation for the sliced apply: respects the
-    ALFI_TPU_PATCH_APPLY dtype/pallas choice but forces the transposed
+    ALFI_TPU_PATCH_APPLY dtype choice but forces the transposed
     (m, m, np) layout the slice gather produces.  None when the active
     factorisation has no patch-minor form (CPU native LU)."""
     from ..solvers.batched_lu import (
@@ -636,7 +636,6 @@ def _structured_fs():
     if isinstance(base, _ExplicitInverseFactorization):
         return _ExplicitInverseFactorization(
             base.apply_dtype, transposed=True,
-            use_pallas=base.use_pallas,
             promote=getattr(base, "promote", False))
     # CPU native-LU base (no patch-minor form): explicit f64 inverses,
     # the same construction the TPU default uses

@@ -80,7 +80,7 @@ class MGLevel:
         """Cell-minor gather/sum companions for the transposed
         level_apply (ALFI_TPU_LEVEL_APPLY=t): vectors live as
         (nld, nc) so the element-tensor stream (i, j, c) has the large
-        cell axis on lanes — see solvers/patch_pallas.py for why the
+        cell axis on lanes — see solvers/batched_lu.apply_transposed_xla for why the
         batch-major (c, i, j) layout wastes most of its HBM stream on
         XLA's minor-dim tile padding."""
         if self.rows_t is None:
@@ -155,9 +155,14 @@ class VelocityMG:
         #: level-operator STORAGE dtype (config.mg_store): tensors can
         #: stream f32 bytes while the cycle computes in f64 — the
         #: widening converts fuse into the loads
-        from ..config import mg_store
+        from ..config import mg_smooth_dtype, mg_store
 
         self.sdt = mg_store()
+
+        #: smoother-internal COMPUTE dtype (config.mg_smooth_dtype):
+        #: when narrower than cdt, _smooth switches to defect-
+        #: correction form — f64 residual, f32 inner Krylov
+        self.mdt = mg_smooth_dtype()
 
         #: cell-minor element-tensor layout for the level matvecs
         #: (see MGLevel.ensure_transposed)
@@ -729,6 +734,19 @@ class VelocityMG:
             state["tensors"] = cast_floating(state["tensors"], self.sdt)
             state["ftensors"] = cast_floating(state["ftensors"],
                                               self.sdt)
+        if self.mdt != self.cdt and "patch_lufacs" in state:
+            # defect-correction smoother (config.mg_smooth_dtype): the
+            # patch factors are only ever applied INSIDE the inner mdt
+            # Krylov loop (_smoother_pc), so store them in mdt — the
+            # sweep streams half the bytes and the GEMV runs on the
+            # native-f32 units.  The FACTORISATION stays f64 above:
+            # the gamma-conditioned cancellation lives in computing
+            # the factor, not storing it (the f32s acceptance run,
+            # results/logs/roofline_patches.log).
+            from ..utils.tree import cast_floating
+
+            state["patch_lufacs"] = cast_floating(
+                state["patch_lufacs"], self.mdt)
         if self.smoother_driver == "chebyshev":
             state["lmax"] = [
                 self._estimate_lmax(l, state)
@@ -858,7 +876,9 @@ class VelocityMG:
     def _smooth(self, l, state, b, x0):
         """Fixed-iteration level smoother: FGMRES(smoothing)+PC for the NS
         solver (ksp_convergence_test skip), or Chebyshev(smoothing)+PC for
-        the graddiv harness (a LINEAR smoother, CG-compatible)."""
+        the graddiv harness (a LINEAR smoother, CG-compatible).
+        ``x0=None`` means a zero initial guess (the defect/residual is
+        then ``b`` itself — no operator application spent on it)."""
         tensors = state["tensors"][l]
         ften = state["ftensors"][l]
         pc = self._smoother_pc(l, state)
@@ -870,8 +890,26 @@ class VelocityMG:
         if self.smoother_driver == "chebyshev":
             from ..solvers.krylov import chebyshev
 
+            if x0 is None:
+                x0 = jnp.zeros_like(b)
             return chebyshev(A, b, pc, x0=x0, maxit=m,
                              lmax=state["lmax"][l - 1])
+        if self.mdt != b.dtype:
+            # defect-correction mixed precision (config.mg_smooth_dtype,
+            # VERDICT r4 item 2): the defect b - A x0 is formed in the
+            # cycle dtype (f64 residual accuracy bounds the cycle's
+            # progress), then the fixed-iteration inner Krylov smooths
+            # it from a ZERO guess in mdt — algebraically identical to
+            # fgmres-from-x0 (x0 + Krylov(defect)), but the m matvecs,
+            # patch applies and Arnoldi arithmetic run in f32.  The f32
+            # rounding of the correction is relative to the defect, so
+            # the contraction factor survives where the round-4 all-f32
+            # cycle (f32 residual chain) lost iteration parity.
+            r0 = b if x0 is None else b - A(x0)
+            e, _ = fgmres(A, r0.astype(self.mdt), pc=pc, x0=None,
+                          rtol=0.0, atol=-1.0, maxit=m, restart=m)
+            e = e.astype(b.dtype)
+            return e if x0 is None else x0 + e
         x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0,
                       maxit=m, restart=m)
         return x
@@ -910,8 +948,7 @@ class VelocityMG:
             r = b - self.level_apply(l, state["tensors"][l], x,
                                      ftensors=state["ftensors"][l])
             rc = self._restrict(l - 1, state, r)
-            xc = self.vcycle(l - 1, state, rc, jnp.zeros_like(rc),
-                             ncoarse=ncoarse)
+            xc = self.vcycle(l - 1, state, rc, None, ncoarse=ncoarse)
             x = x + self._prolong(l - 1, state, xc)
         return self._smooth(l, state, b, x)
 
@@ -941,8 +978,8 @@ class VelocityMG:
                 out = self.fmg(state, rv_c)
             else:
                 ncoarse = 2 if self.cycle == "w" else 1
-                out = self.vcycle(L, state, rv_c,
-                                  jnp.zeros_like(rv_c), ncoarse=ncoarse)
+                out = self.vcycle(L, state, rv_c, None,
+                                  ncoarse=ncoarse)
             return out.astype(rv.dtype)
 
         return solve_A

@@ -179,6 +179,25 @@ class _QRInverseFactorization:
         return fac @ b
 
 
+def apply_transposed_xla(fac, rp):
+    """Batched GEMV of PATCH-MINOR inverses: out (m, np) = sum_j
+    fac[i, j, :] * rp[j, :] as an elementwise multiply + reduce over j,
+    which XLA fuses into a single stream over ``fac`` without
+    relayouting to batch-major (an einsum/dot_general with the batch
+    dim minor-most may transpose operands first).  The patch-minor
+    layout puts the large patch axis on lanes, so XLA's (8, 128)
+    minor-dim tiling pads negligibly (np >> 128) — batch-major (np, m,
+    m) factors with m ~ 14-50 are physically 2.5-9x their logical bytes
+    and the bandwidth-bound apply would mostly stream padding."""
+    npat = rp.shape[-1]
+    npad = fac.shape[-1]
+    if npad != npat:
+        rp = jnp.pad(rp, ((0, 0), (0, npad - npat)))
+    dt = jnp.float32 if fac.dtype == jnp.bfloat16 else fac.dtype
+    out = jnp.sum(fac.astype(dt) * rp[None, :, :].astype(dt), axis=1)
+    return out[:, :npat]
+
+
 class _ExplicitInverseFactorization:
     """Dense patch INVERSES — the reference's own PkP0 patch trick
     (``patch_pc_patch_dense_inverse``, /root/reference/alfi/solver.py:599-602):
@@ -200,19 +219,21 @@ class _ExplicitInverseFactorization:
     array to (8, 128), so batch-major inverses with m ~ 14-50 are
     physically 2.5-9x their logical bytes and the bandwidth-bound apply
     streams mostly padding; patch-minor layout makes the padding
-    negligible (np >> 128).  See solvers/patch_pallas.py.  The apply
+    negligible (np >> 128).  See apply_transposed_xla.  The apply
     takes/returns patch-minor vectors via :meth:`solve_t` (the hot
     path, wired through mg/patches.build_patch_solver); :meth:`solve`
     keeps the batch-major interface for the remaining callers.
 
-    ``use_pallas=True``: run the transposed contraction as the fused
-    Pallas kernel instead of the XLA multiply-reduce."""
+    A fused Pallas kernel for this contraction existed through round 4;
+    its post-fix hardware run (results/logs/roofline_patches.log,
+    round-5 closure entry: 4.27 ms/apply vs 1.19-1.49 ms for the XLA
+    struct path at identical shapes) retired it — the XLA
+    multiply-reduce IS the fast formulation here."""
 
     def __init__(self, apply_dtype=None, transposed=False,
-                 use_pallas=False, promote=False):
+                 promote=False):
         self.apply_dtype = apply_dtype
         self.transposed = transposed
-        self.use_pallas = use_pallas
         #: store-narrow / compute-wide (the config.mg_store pattern):
         #: inverses stored in apply_dtype but the GEMV runs in the
         #: RESIDUAL dtype via promotion — halved factor stream, exact
@@ -229,28 +250,18 @@ class _ExplicitInverseFactorization:
             inv = inv.astype(self.apply_dtype)
         if self.transposed:
             inv = jnp.moveaxis(inv, 0, -1)  # (m, m, np)
-            if self.use_pallas:
-                from .patch_pallas import pad_patch_axis
-
-                inv = pad_patch_axis(inv)
         return inv
 
     def solve_t(self, Ainv, rp):
         """Patch-minor apply: rp (m, np) -> (m, np)."""
-        from .patch_pallas import (
-            apply_transposed_pallas,
-            apply_transposed_xla,
-        )
-
-        app = (apply_transposed_pallas if self.use_pallas
-               else apply_transposed_xla)
         # bf16 factors: only the stored inverses are bf16 — the
         # residual and the accumulation stay f32
         if self.promote:
-            return app(Ainv, rp)
+            return apply_transposed_xla(Ainv, rp)
         rdt = (jnp.float32 if Ainv.dtype == jnp.bfloat16
                else Ainv.dtype)
-        return app(Ainv, rp.astype(rdt)).astype(rp.dtype)
+        return apply_transposed_xla(
+            Ainv, rp.astype(rdt)).astype(rp.dtype)
 
     def solve(self, Ainv, b):
         if self.transposed:
@@ -305,30 +316,28 @@ def get_factorization(kind="dense"):
             # ALFI_TPU_PATCH_APPLY: f64 factor always; apply variants
             #   f32   — f32 batch-major einsum
             #   f32t  — f32 patch-minor layout, XLA multiply-reduce
-            #   f32p  — f32 patch-minor layout, fused Pallas kernel
-            #   bf16t / bf16p — bf16-STORED patch-minor inverses
-            #       (half the HBM stream), f32 residual + accumulation;
-            #       iteration-count parity on the high-Re sweeps is the
+            #   bf16t — bf16-STORED patch-minor inverses (half the HBM
+            #       stream), f32 residual + accumulation; iteration-
+            #       count parity on the high-Re sweeps is the
             #       acceptance gate
             #   t     — f64 patch-minor (layout effect in isolation)
             #   f32s / f32st — f32-STORED inverses, f64-COMPUTED GEMV
             #       (dtype promotion): halved factor stream with EXACT
             #       iteration parity (the config.mg_store pattern)
+            # (the retired f32p/bf16p Pallas modes: see the round-5
+            # closure entry in results/logs/roofline_patches.log)
             app = os.environ.get("ALFI_TPU_PATCH_APPLY", "")
-            if app not in ("", "f32", "f32t", "f32p", "bf16t",
-                           "bf16p", "t", "f32s", "f32st"):
+            if app not in ("", "f32", "f32t", "bf16t", "t", "f32s",
+                           "f32st"):
                 # a typo (e.g. bare "bf16") would silently pick a mode
                 # that truncates the residual — refuse instead
                 raise ValueError(
                     "ALFI_TPU_PATCH_APPLY=%r: expected one of "
-                    "'', f32, f32t, f32p, bf16t, bf16p, t, f32s, f32st"
-                    % app)
+                    "'', f32, f32t, bf16t, t, f32s, f32st" % app)
             dt = (jnp.float32 if app.startswith("f32")
                   else jnp.bfloat16 if app.startswith("bf16") else None)
             _fs[kind] = _ExplicitInverseFactorization(
-                dt, transposed=app in ("f32t", "f32p", "bf16t",
-                                       "bf16p", "t", "f32st"),
-                use_pallas=app in ("f32p", "bf16p"),
+                dt, transposed=app in ("f32t", "bf16t", "t", "f32st"),
                 promote=app in ("f32s", "f32st"))
         elif kind == "coarse":
             # ONE matrix applied many times per cycle: pay the blocked

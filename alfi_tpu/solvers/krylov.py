@@ -141,7 +141,8 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         project = _identity_pc
     if ctx is None:
         ctx = DotContext()
-    if x0 is None:
+    zero_guess = x0 is None
+    if zero_guess:
         x0 = tzeros_like(b)
     b = project(b)
     m = restart
@@ -154,7 +155,10 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
     def opA(v):
         return project(A(v))
 
-    r0 = tsub(b, opA(x0))
+    # zero initial guess: the residual IS b — no operator application
+    # spent before the Krylov loop (the fixed-iteration MG smoother
+    # calls this once per level per cycle, so the saving is real)
+    r0 = b if zero_guess else tsub(b, opA(x0))
     rnorm0 = ctx.norm(r0)
     target = jnp.maximum(rtol * rnorm0, atol)
 
@@ -166,8 +170,9 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         w = _buf_axpy(V, h2, w)
         return w, h1 + h2
 
-    def cycle(x, total_it):
-        r = tsub(b, opA(x))
+    def cycle(x, total_it, r=None):
+        if r is None:
+            r = tsub(b, opA(x))
         beta = ctx.norm(r)
         V = tstack_zeros(b, m + 1)
         V = tset(V, 0, tscale(1.0 / (beta + _EPS), r))
@@ -240,9 +245,16 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
         x, it, rnorm = state
         return cycle(x, it)
 
-    x, iters, rnorm = lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.asarray(0), rnorm0)
-    )
+    if maxit <= restart:
+        # fixed-iteration (smoother) mode: at most ONE Arnoldi cycle
+        # can run (arnoldi_cond caps j at maxit, outer_cond then
+        # fails), so call it directly with the known initial residual
+        # instead of recomputing b - A x0 inside the loop body
+        x, iters, rnorm = cycle(x0, 0, r0)
+    else:
+        x, iters, rnorm = lax.while_loop(
+            outer_cond, outer_body, (x0, jnp.asarray(0), rnorm0)
+        )
     info = {
         "iters": iters,
         "rnorm": rnorm,

@@ -90,15 +90,11 @@ def level_matvec(nc, nld, n, dtype, rng):
 
 
 def patch_apply(npat, m, n, dtype, rng):
-    from alfi_tpu.solvers.patch_pallas import (
-        apply_transposed_pallas,
-        apply_transposed_xla,
-        pad_patch_axis,
-    )
+    from alfi_tpu.solvers.batched_lu import apply_transposed_xla
 
     dofs = rng.integers(0, n, size=(npat, m))
     A = jnp.asarray(rng.standard_normal((npat, m, m)), dtype=dtype)
-    At = pad_patch_axis(jnp.moveaxis(A, 0, -1))
+    At = jnp.moveaxis(A, 0, -1)
     dofs_j = jnp.asarray(dofs)
     dofs_tj = jnp.asarray(dofs.T)
     gs = make_gather_sum(dofs, n)
@@ -110,20 +106,16 @@ def patch_apply(npat, m, n, dtype, rng):
     def cm(v):
         return gst(apply_transposed_xla(At, v[dofs_tj]))
 
-    def pk(v):
-        return gst(apply_transposed_pallas(At, v[dofs_tj]))
-
     bytes_log = npat * m * m * A.dtype.itemsize
     v = jnp.asarray(rng.standard_normal((n,)), dtype=dtype)
     out = {}
-    for name, op in [("batch_major", bm), ("patch_minor_xla", cm),
-                     ("patch_minor_pallas", pk)]:
+    for name, op in [("batch_major", bm), ("patch_minor_xla", cm)]:
         try:
             dt, _ = timed(chain(op), v)
             out[name] = {"us": round(dt * 1e6, 1),
                          "GBps_logical": round(bytes_log / dt / 1e9, 1),
                          "frac_HBM": round(bytes_log / dt / HBM, 3)}
-        except Exception as e:  # pallas may be unsupported somewhere
+        except Exception as e:
             out[name] = {"error": str(e)[:200]}
     out["shape"] = [npat, m, m]
     out["dtype"] = str(A.dtype)

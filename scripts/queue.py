@@ -255,19 +255,125 @@ def r4sv():
     return st
 
 
+# ---------------------------------------------------------------------
+# Round-5 queues (VERDICT r4 "Next round" items 1, 5-8): the big
+# configurations ON THE TPU itself — every >170k-dof row so far was
+# minted on the host — then the production-ladder extensions and the
+# 3D graddiv comparison.  Attempt timeouts are capped BELOW the stage
+# totals so the round-robin visits every stage ~2x per session even
+# when early stages always fill their cap (checkpoints make attempts
+# cumulative).
+# ---------------------------------------------------------------------
+
+
+def r5tpu():
+    st = []
+    # 0. defect-correction smoother acceptance gate (VERDICT item 2):
+    # ldc2d nref=2 Re->10000 with the f32 inner smoother; pass =
+    # Krylov counts match the committed f64 table
+    # (results/logs/iters_ldc2d_nref2_re10000.log) step for step
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=2, nref_end=2, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=10000)
+    st.append(_stage("dcg", "iters_ldc2d_nref2_re10000_dc32.log", cmd,
+                     need=need, timeout=3600,
+                     env={"ALFI_TPU_MG_SMOOTH_DTYPE": "f32"}))
+    # 1. ldc3d [P2+FB]^3 nref=2 (284k dofs) Re->5000 ON THE TPU
+    # (VERDICT item 1a; reference generate_submission:12-23)
+    cmd, need = iters(
+        "ldc3d", 52, nref_start=2, nref_end=2, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=5000)
+    st.append(_stage("f3t", "ldc3d_p2fb_nref2_re5000_tpu.log", cmd,
+                     need=need, timeout=3600))
+    # 2. finish the 2D nref=3 headline row (VERDICT item 7)
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=10000)
+    st.append(_stage("c3t", "iters_ldc2d_nref3_re10000_tpu.log", cmd,
+                     need=need, timeout=3600))
+    # 3. 2D nref=4 (657k dofs) ON the chip (VERDICT item 1a)
+    cmd, need = iters(
+        "ldc2d", 31, nref_start=4, nref_end=4, baseN=16, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star",
+        restriction=True, re_max=2900)
+    st.append(_stage("c4t", "iters_ldc2d_nref4_re2900_tpu.log", cmd,
+                     need=need, timeout=3600))
+    # 4. sv_ldc3d k=3 ladder extension Re->5000 (VERDICT item 5;
+    # reference generate_submission:71-87)
+    cmd, need = iters(
+        "ldc3d", 52, nref_start=1, nref_end=1, baseN=2, k=3,
+        solver_type="almg", discretisation="sv", mh="bary",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        patch="macro", smoothing=10, restriction=True, re_max=5000)
+    st.append(_stage("f1x", "sv_ldc3d_k3_nref1_re5000.log", cmd,
+                     need=need, timeout=3600))
+    # 5. bfs3d on the reference's own coarse13.msh ladder mesh
+    # (VERDICT item 6; generate_submission:26-37)
+    cmd, need = iters(
+        "bfs3d", 11, mesh="/root/reference/examples/bfs3d/coarse13.msh",
+        nref_start=1, nref_end=1, baseN=0, k=1, solver_type="almg",
+        discretisation="pkp0", mh="uniform", stabilisation_type="supg",
+        stabilisation_weight=0.05, patch="star", smoothing=10,
+        restriction=True, re_max=500)
+    st.append(_stage("f2r", "bfs3d_p1fb_coarse13_re500.log", cmd,
+                     need=need, timeout=3600))
+    # 6. 3D graddiv comparison (VERDICT item 8; reference
+    # examples/graddiv/Makefile pkp03dcomparison/sv3dcomparison)
+    cmd = ["bash", "scripts/graddiv3d.sh"]
+    st.append(_stage("gd3", "graddiv3d_comparison.log", cmd,
+                     need=0, timeout=5400))
+    return st
+
+
+def r5cpu():
+    """One niced CPU lane (single-core host): the SV top-of-sweep
+    re-mint (VERDICT item 5) — iteration counts are platform-
+    independent; forks branch from its checkpoints once deep."""
+    st = []
+    cmd, need = iters(
+        "ldc2d", 102, nref_start=2, nref_end=2, baseN=16, k=2,
+        solver_type="almg", discretisation="sv", mh="bary",
+        stabilisation_type="burman", stabilisation_weight=5e-3,
+        patch="macro", restriction=True, re_max=10000)
+    st.append(_stage("svb5", "sv_ldc2d_nref2_svbase_r5.log", cmd,
+                     need=need, timeout=43200, platform="cpu"))
+    return st
+
+
 QUEUES = {"r3tpu": r3tpu, "r3cpu": r3cpu, "r4tpu": r4tpu,
-          "r4cpu": r4cpu, "r4sv": r4sv}
+          "r4cpu": r4cpu, "r4sv": r4sv, "r5tpu": r5tpu,
+          "r5cpu": r5cpu}
 
 
 # ---------------------------------------------------------------------
 
 
 def wait_tpu(poll=240):
+    """Block until the TPU can execute a FRESH compile.
+
+    jax.devices() succeeding is not enough: the tunnel's AOT compile
+    service wedges independently of execution (round 5: cached
+    programs ran while every novel compile hung forever), and a stage
+    started in that state burns its whole attempt timeout.  The probe
+    bakes a unique literal into the program so every poll forces an
+    actual compile round-trip."""
     while True:
+        probe = (
+            "import jax, jax.numpy as jnp;"
+            "x = jnp.full((129, 65), %r);"
+            "assert jax.devices()[0].platform != 'cpu';"
+            "(jnp.sin(x) @ x.T).sum().block_until_ready()"
+            % time.time())
         try:
             ok = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                [sys.executable, "-c", probe],
                 timeout=poll, capture_output=True).returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
@@ -430,6 +536,11 @@ def run_stage(s):
     cpu_flip = os.path.join(LOGS, ".cpu_" + name)
     if os.path.exists(done) or os.path.exists(failed):
         return os.path.exists(done)
+    # cooperative pause: `touch results/logs/.pause_queue` makes the
+    # queue yield the TPU between stages (dev measurements borrow the
+    # chip); remove the file to resume
+    while os.path.exists(os.path.join(LOGS, ".pause_queue")):
+        time.sleep(30)
     platform = ("cpu" if os.path.exists(cpu_flip) else s["platform"])
     if platform == "tpu":
         wait_tpu()

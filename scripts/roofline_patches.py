@@ -114,7 +114,6 @@ def run_variants(nref):
       ""     f64 emulated einsum, batch-major (np, m, m)
       f32    f32 einsum, batch-major
       f32t   f32 patch-minor (m, m, np) XLA multiply-reduce
-      f32p   f32 patch-minor fused Pallas kernel
 
     The batch-major layouts are physically padded by XLA's (8, 128)
     minor-dim tiling (2.5-9x at patch sizes), so the roofline
@@ -130,7 +129,6 @@ def run_variants(nref):
         ("f64", "", "0"),
         ("f32", "f32", "0"),
         ("f32t", "f32t", "0"),
-        ("f32p", "f32p", "0"),
         ("bf16t", "bf16t", "0"),
         ("f32s", "f32s", "0"),
         ("struct", "", "1"),

@@ -236,6 +236,61 @@ def test_store_f32_iteration_parity():
     assert np.all(cs <= c64 + 1), (c64.tolist(), cs.tolist())
 
 
+def test_smooth_f32_iteration_parity():
+    """Defect-correction mixed precision (config.mg_smooth_dtype,
+    VERDICT r4 item 2): residuals/corrections stay f64, only the inner
+    fixed-iteration smoother Krylov runs f32.  The f32 rounding of the
+    smoothed correction is RELATIVE to the defect, so — unlike the
+    all-f32 cycle above whose counts drift ~8-100% — the Krylov counts
+    must stay within noise of the f64 control."""
+    from alfi_tpu.config import set_mg_smooth_dtype
+
+    res = [1, 10, 100, 1000]
+
+    def sweep():
+        s = _solver(stabilisation_type="supg")
+        counts = []
+        for re in res:
+            _, info = s.solve(re)
+            assert info["converged"]
+            counts.append(info["linear_iter"])
+        return counts
+
+    c64 = sweep()
+    set_mg_smooth_dtype(jnp.float32)
+    try:
+        cm = sweep()
+    finally:
+        set_mg_smooth_dtype(real_dtype)
+    cm, c64 = np.array(cm), np.array(c64)
+    assert np.all(cm <= c64 + 1), (c64.tolist(), cm.tolist())
+
+
+def test_smooth_f32_state_dtypes():
+    """Only the smoother's private state narrows: patch factors mdt,
+    residual chain / transfers / coarse stay f64."""
+    from alfi_tpu.config import set_mg_smooth_dtype
+
+    set_mg_smooth_dtype(jnp.float32)
+    try:
+        s = _solver(stabilisation_type="supg")
+        s.solve(1)
+        state, params = _setup_state(s)
+    finally:
+        set_mg_smooth_dtype(real_dtype)
+    import jax
+
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state["patch_lufacs"][-1])
+        if jnp.issubdtype(leaf.dtype, jnp.floating))
+    # coarse factor keeps its own (f64-bearing) precision mix
+    assert any(
+        leaf.dtype == jnp.float64
+        for leaf in jax.tree.leaves(state["coarse_fac"])
+        if jnp.issubdtype(leaf.dtype, jnp.floating))
+
+
 def test_store_f32_state_dtypes():
     """Only the level-operator stream narrows: tensors/ftensors f32,
     vectors and factorisations untouched (f64)."""

@@ -5,7 +5,7 @@ The layout exists because XLA tiles the two minor dims of the streamed
 (nc, nld, nld) operator to (8, 128) — with nld ~ 12-33 the physical
 bytes are several times the logical ones, and the bandwidth-bound
 matvec pays for the padding every Krylov iteration (see
-solvers/patch_pallas.py for the measurement-driven rationale).
+solvers/batched_lu.apply_transposed_xla for the rationale).
 """
 
 import jax.numpy as jnp
