@@ -24,22 +24,25 @@ the total) keep the generic table path.
 This module is pure detection + closure construction: it makes NO
 assumptions about how the mesh was generated.  `detect` verifies the
 affine property exactly, slot by slot, against the actual dof table and
-declines (returns None) on any mismatch — gmsh imports, bary meshes,
-distributed block-local patchsets and Schöberl cell patches all fall
-back to the generic gather/scatter unchanged.
+declines (returns None) on any mismatch — gmsh imports, distributed
+block-local patchsets and Schöberl cell patches all fall back to the
+generic gather/scatter unchanged.
 
-3D status: the detection and gather/scatter are dimension-general
-(extents/strides below), and the geometric entity numbering has a 3D
-mode (mesh/renumber.py, ALFI_TPU_GEOM_NUMBERING_3D=1 — opt-in because
-the checkpoint numbering tag changes).  Measured on ldc3d meshes the
-single-class assumption does NOT yet hold: the structured tet lattice
-has period-2 interior vertex CLASSES with different star sizes (8 of
-27 interior patches are full-size at baseN=2 nref=1), so slicing 3D
-requires per-parity-class layouts, each with its own m_k and GEMV
-batch — strictly a generalisation of this file's machinery (split the
-interior grid by (z%2, y%2, x%2), detect each class against its own
-slot table).  Until that lands, 3D declines here and keeps the
-gather-table path.
+Coverage (round 5):
+ * 2D structured grids — pass 1, one class of max-size star patches.
+ * 3D structured tet lattices — pass 2, per-parity classes
+   (z%2, y%2, x%2): the lattice repeats with period 2, so only
+   same-parity interior stars are translation-equivalent.  Needs the
+   3D geometric numbering (mesh/renumber.py,
+   ALFI_TPU_GEOM_NUMBERING_3D=1 — opt-in because the checkpoint
+   numbering tag changes).
+ * 2D bary (Alfeld) meshes / SV MACROSTAR patches — pass 2 again:
+   centroids are appended in parent-cell order, which repeats with
+   period 2 across the macro grid, so all four (y%2, x%2) interior
+   classes are exactly affine (measured, stride 2).  Six of the 31
+   slot families are numbered Y-FASTEST (edge/centroid families whose
+   geometric sort runs column-major) — those slots use the swapped-
+   axis window (_Block.swapped) instead of declining.
 """
 
 from __future__ import annotations
@@ -62,12 +65,26 @@ class _Block:
     padding for this class (patch tables are padded to the global m
     with dof == nflat): they gather zeros and scatter nothing."""
 
-    def __init__(self, extents, starts, strides, sentinel):
+    def __init__(self, extents, starts, strides, sentinel,
+                 swapped=None):
         self.extents = tuple(int(e) for e in extents)
         self.ni = int(np.prod(self.extents))
         self.starts = starts
         self.strides = strides
         self.sentinel = sentinel
+        #: per-slot flag (2D only): the slot's dof numbering is
+        #: Y-FASTEST (x-stride covers the y-window instead of the
+        #: usual x-fastest nesting) — gather/scatter run the window
+        #: reshape in (x, y) order and transpose.  SV bary macrostar
+        #: edge/centroid dof families produce these (6 of 31 slots).
+        self.swapped = (np.zeros(len(starts), dtype=bool)
+                        if swapped is None else swapped)
+
+    def window_len(self, j):
+        """Flat window length of slot j's dense slice."""
+        if self.swapped[j]:
+            return self.extents[1] * int(self.strides[j, 1])
+        return self.extents[0] * int(self.strides[j, 0])
 
 
 class StructuredLayout:
@@ -166,6 +183,7 @@ def _solve_block(patchset, idx, coords):
     starts = np.zeros(md, dtype=np.int64)
     strides = np.zeros((md, dim), dtype=np.int64)
     sentinel = np.zeros(md, dtype=bool)
+    swapped = np.zeros(md, dtype=bool)
     # every axis stride is solved per slot, x included: a parity class
     # steps 2 lattice units per class step, so sx is d * (flat dofs per
     # class step), not necessarily d
@@ -180,6 +198,26 @@ def _solve_block(patchset, idx, coords):
             return None
         s = int(base[origin][0])
         rr = base - s
+        if dim == 2:
+            # solve both strides from unit probes, then accept either
+            # axis orientation: x-fastest (the standard nesting) or
+            # y-fastest (swapped — SV bary macrostar edge/centroid
+            # families), as long as the outer stride covers the whole
+            # inner window so the slot is one dense strided slice.
+            ny, nx = exts
+            got = _solve_strides_2d(rr, R, exts, d)
+            if got is None:
+                return None
+            sty, stx, swap = got
+            if not np.array_equal(rr, stx * R[1] + sty * R[0]):
+                return None
+            if not np.array_equal(
+                    G, base[:, None] + np.arange(d)[None, :]):
+                return None
+            starts[j] = s
+            strides[j, :] = (sty, stx)
+            swapped[j] = swap
+            continue
         expect = np.zeros_like(rr)
         lower = d  # x-stride >= d; each outer covers the inner window
         sts = []
@@ -211,7 +249,44 @@ def _solve_block(patchset, idx, coords):
         return None
     # sentinel slots: park their (empty) slice window in the pad region
     starts[sentinel] = nflat
-    return lex, _Block(exts, starts, strides, sentinel)
+    return lex, _Block(exts, starts, strides, sentinel, swapped)
+
+
+def _solve_strides_2d(rr, R, exts, d):
+    """(sty, stx, swapped) for one 2D slot, or None.
+
+    Degenerate axes (extent 1) take the other axis's window as their
+    stride so the flat window formula stays valid."""
+    ny, nx = exts
+
+    def unit_stride(a):
+        unit = np.all(
+            [R[b] == (1 if b == a else 0) for b in range(2)], axis=0)
+        if not unit.any():
+            return None
+        return int(rr[unit][0])
+
+    if nx == 1 and ny == 1:
+        return d, d, False
+    if nx == 1:
+        sty = unit_stride(0)
+        if sty is None or sty < d:
+            return None
+        return sty, sty * ny, False
+    if ny == 1:
+        stx = unit_stride(1)
+        if stx is None or stx < d:
+            return None
+        return stx * nx, stx, False
+    stx = unit_stride(1)
+    sty = unit_stride(0)
+    if stx is None or sty is None:
+        return None
+    if stx >= d and sty >= stx * nx:
+        return sty, stx, False
+    if sty >= d and stx >= sty * ny:
+        return sty, stx, True
+    return None
 
 
 def detect(patchset):
@@ -247,12 +322,10 @@ def detect(patchset):
         order = np.concatenate([sliced, rest])
         pad = 1
         for b in blocks:
-            live = ~b.sentinel
-            if live.any():
-                pad = max(pad, int(
-                    (b.starts[live]
-                     + b.extents[0] * b.strides[live, 0]).max())
-                    - patchset.nflat)
+            for j in range(len(b.starts)):
+                if not b.sentinel[j]:
+                    pad = max(pad, int(b.starts[j]) + b.window_len(j)
+                              - patchset.nflat)
         return StructuredLayout(order, blocks, max(pad, 1))
 
     # pass 1: single class of max-size patches (2D structured grids)
@@ -261,18 +334,23 @@ def detect(patchset):
         got = _solve_block(patchset, idx, [c[idx] for c in gco])
         if got is not None:
             return finish([got])
-    if dim != 3:
-        return None
     # pass 2: parity classes; only LATTICE-interior members are
     # translation-equivalent (boundary stars are BC-truncated), and
-    # only within a parity class (the tet lattice repeats with
-    # period 2)
+    # only within a parity class.  3D: the structured tet lattice
+    # repeats with period 2.  2D: bary (Alfeld) meshes repeat with
+    # period 2 as well — centroid vertices are appended in parent-CELL
+    # order, which alternates triangle orientation across the grid —
+    # so the SV macrostar family slices here too (measured: all four
+    # (y%2, x%2) classes are exactly affine at stride 2,
+    # VERDICT r4 item 3).
     interior = np.ones(patchset.npatches, dtype=bool)
     for c in gco:
         interior &= (c > c.min()) & (c < c.max())
     pairs = []
-    par = (gco[0] % 2) * 4 + (gco[1] % 2) * 2 + (gco[2] % 2)
-    for p in range(8):
+    par = np.zeros_like(gco[0])
+    for c in gco:
+        par = par * 2 + (c % 2)
+    for p in range(2 ** dim):
         cls = np.where((par == p) & interior)[0]
         if cls.size < 2:
             continue
@@ -348,8 +426,15 @@ def gather_scatter(patchset, layout):
             if dim == 2:
                 by = row[0]
                 ny = exts[0]
-                seg = rpad[s:s + ny * by].reshape(ny, by)
-                seg = seg[:, :nx * sx].reshape(ny, nx, sx)[:, :, :d]
+                if b.swapped[j]:
+                    # y-fastest slot: window is x-major — reshape in
+                    # (nx, ny) order, transpose back to patch lex order
+                    seg = rpad[s:s + nx * sx].reshape(nx, sx)
+                    seg = seg[:, :ny * by].reshape(nx, ny, by)[:, :, :d]
+                    seg = jnp.swapaxes(seg, 0, 1)  # (ny, nx, d)
+                else:
+                    seg = rpad[s:s + ny * by].reshape(ny, by)
+                    seg = seg[:, :nx * sx].reshape(ny, nx, sx)[:, :, :d]
             else:
                 bz, by = row[0], row[1]
                 nz, ny = exts[0], exts[1]
@@ -374,11 +459,20 @@ def gather_scatter(patchset, layout):
             if dim == 2:
                 by = row[0]
                 ny = exts[0]
-                seg = xi[j * d:(j + 1) * d].T.reshape(ny, nx, d)
-                seg = jnp.pad(seg, ((0, 0), (0, 0), (0, sx - d)))
-                seg = seg.reshape(ny, nx * sx)
-                seg = jnp.pad(seg, ((0, 0), (0, by - nx * sx)))
-                win = ny * by
+                if b.swapped[j]:
+                    # y-fastest slot: build the x-major window
+                    seg = xi[j * d:(j + 1) * d].T.reshape(ny, nx, d)
+                    seg = jnp.swapaxes(seg, 0, 1)  # (nx, ny, d)
+                    seg = jnp.pad(seg, ((0, 0), (0, 0), (0, by - d)))
+                    seg = seg.reshape(nx, ny * by)
+                    seg = jnp.pad(seg, ((0, 0), (0, sx - ny * by)))
+                    win = nx * sx
+                else:
+                    seg = xi[j * d:(j + 1) * d].T.reshape(ny, nx, d)
+                    seg = jnp.pad(seg, ((0, 0), (0, 0), (0, sx - d)))
+                    seg = seg.reshape(ny, nx * sx)
+                    seg = jnp.pad(seg, ((0, 0), (0, by - nx * sx)))
+                    win = ny * by
             else:
                 bz, by = row[0], row[1]
                 nz, ny = exts[0], exts[1]

@@ -571,10 +571,17 @@ class VelocityMG:
                     contract_patch_facet_tensors,
                 )
 
-                fs_p = get_factorization("patch")
                 patch_lufacs = []
                 for l in range(1, self.nlevels):
                     ps = self.patchsets[l - 1]
+                    # the patchset's BOUND factorisation (set by
+                    # build_patch_solver): the struct sliced path
+                    # stores patch-minor explicit inverses, and the
+                    # apply closure expects that layout — factoring
+                    # with the generic get_factorization here would
+                    # hand it the wrong structure (native-LU tuples)
+                    fs_p = (getattr(ps, "_fs", None)
+                            or get_factorization("patch"))
                     Ap = assemble_patch_matrices(ps, tensors[l])
                     pf, fl2p = self.patch_facet_tabs[l - 1]
                     Ap = Ap + contract_patch_facet_tensors(

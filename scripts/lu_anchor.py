@@ -44,6 +44,25 @@ from alfi_tpu.solvers.newton import newton  # noqa: E402
 RES = [1, 10, 100]
 
 
+def make_solver(dim):
+    """The bench configuration for the chosen dimension: bench.py's
+    ldc2d pkp0 nref=2 (41,474 dofs) or scripts/bench3d.py's ldc3d
+    [P2+FB]^3-P0 baseN=4 nref=1 (37,395 dofs) — identical residual,
+    tolerances and continuation, so the anchor is externally
+    comparable to the TPU almg number (VERDICT r4 item 9)."""
+    if dim == 3:
+        from alfi_tpu.problems import ThreeDimLidDrivenCavityProblem
+
+        return ConstantPressureSolver(
+            ThreeDimLidDrivenCavityProblem(4), nref=1, k=2,
+            solver_type="almg", hierarchy="uniform", gamma=1e4,
+            verbose=False), "ldc3d p2fb baseN=4 nref=1 Re 1->100"
+    return ConstantPressureSolver(
+        TwoDimLidDrivenCavityProblem(16), nref=2, k=2,
+        solver_type="almg", hierarchy="uniform", gamma=1e4,
+        verbose=False), "ldc2d pkp0 baseN=16 nref=2 (41474 dofs) Re 1->100"
+
+
 def build_coloring(solver):
     """Jacobian-pattern coloring for exact column recovery.
 
@@ -89,12 +108,9 @@ def build_coloring(solver):
     return color, ncolors, neighbours, nu_flat, ntot
 
 
-def main():
+def main(dim=2):
     t_setup0 = time.perf_counter()
-    solver = ConstantPressureSolver(
-        TwoDimLidDrivenCavityProblem(16), nref=2, k=2,
-        solver_type="almg", hierarchy="uniform", gamma=1e4,
-        verbose=False)
+    solver, config = make_solver(dim)
     V, Q = solver.form.V, solver.form.Q
     d = solver.form.dim
     color, ncolors, neighbours, nu_flat, ntot = build_coloring(solver)
@@ -210,7 +226,7 @@ def main():
     elapsed = time.perf_counter() - t0
     print(json.dumps({
         "anchor": "newton_superlu_host_1core",
-        "config": "ldc2d pkp0 baseN=16 nref=2 (41474 dofs) Re 1->100",
+        "config": config,
         "elapsed_s": round(elapsed, 2),
         "setup_s": round(setup_s, 2),
         "ncolors": ncolors,
@@ -220,4 +236,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2)

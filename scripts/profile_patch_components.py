@@ -18,7 +18,10 @@ ALFI_TPU_STRUCT_PATCH, ALFI_TPU_MG_STORE).
 """
 
 import json
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def measure(nref=3):

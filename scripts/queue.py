@@ -288,7 +288,8 @@ def r5tpu():
         stabilisation_type="supg", patch="star", smoothing=10,
         restriction=True, re_max=5000)
     st.append(_stage("f3t", "ldc3d_p2fb_nref2_re5000_tpu.log", cmd,
-                     need=need, timeout=3600))
+                     need=need, timeout=3600,
+                     env={"ALFI_TPU_GEOM_NUMBERING_3D": "1"}))
     # 2. finish the 2D nref=3 headline row (VERDICT item 7)
     cmd, need = iters(
         "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
@@ -328,7 +329,18 @@ def r5tpu():
     # examples/graddiv/Makefile pkp03dcomparison/sv3dcomparison)
     cmd = ["bash", "scripts/graddiv3d.sh"]
     st.append(_stage("gd3", "graddiv3d_comparison.log", cmd,
-                     need=0, timeout=5400))
+                     need=0, timeout=5400,
+                     env={"ALFI_TPU_GEOM_NUMBERING_3D": "1"}))
+    # 7. bfs2d on the reference gmsh mesh — every bfs2d log in-tree is
+    # a failed io_callback-era run (round 2); first real table
+    # (VERDICT weak 4; reference examples/bfs2d/Makefile)
+    cmd, need = iters(
+        "bfs2d", 16, mesh="tests/fixtures/bfs2d_coarse12.msh",
+        nref_start=1, nref_end=1, baseN=0, k=2, solver_type="almg",
+        discretisation="pkp0", mh="uniform", stabilisation_type="supg",
+        patch="star", restriction=True, re_max=1000)
+    st.append(_stage("b2r", "iters_bfs2d_coarse12_nref1_re1000.log",
+                     cmd, need=need, timeout=3600))
     return st
 
 

@@ -94,20 +94,35 @@ def measure(solver):
     }
 
 
-def main(nref=2):
+def main(nref=2, dim=2):
     from alfi_tpu import ConstantPressureSolver
-    from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
 
-    solver = ConstantPressureSolver(
-        TwoDimLidDrivenCavityProblem(16), nref=nref, k=2,
-        solver_type="almg", hierarchy="uniform", gamma=1e4,
-        verbose=False)
+    if dim == 3:
+        # the 3D shapes VERDICT r4 item 3 asks for: ldc3d [P2+FB]^3
+        # star patches (m ~ 135 at nref>=1); per-parity-class slicing
+        # needs the 3D geometric numbering (mesh/renumber.py)
+        import os as _os
+
+        _os.environ.setdefault("ALFI_TPU_GEOM_NUMBERING_3D", "1")
+        from alfi_tpu.problems import ThreeDimLidDrivenCavityProblem
+
+        solver = ConstantPressureSolver(
+            ThreeDimLidDrivenCavityProblem(4), nref=nref, k=2,
+            solver_type="almg", hierarchy="uniform", gamma=1e4,
+            verbose=False)
+    else:
+        from alfi_tpu.problems import TwoDimLidDrivenCavityProblem
+
+        solver = ConstantPressureSolver(
+            TwoDimLidDrivenCavityProblem(16), nref=nref, k=2,
+            solver_type="almg", hierarchy="uniform", gamma=1e4,
+            verbose=False)
     solver.advect_val = 1.0
     solver.nu_val = solver.char_L * solver.char_U / 100.0
-    print(json.dumps({"nref": nref, **measure(solver)}))
+    print(json.dumps({"nref": nref, "dim": dim, **measure(solver)}))
 
 
-def run_variants(nref):
+def run_variants(nref, dim=2):
     """Measure every patch-apply variant in its own subprocess (the
     factorisation binds ALFI_TPU_PATCH_APPLY once per process):
 
@@ -143,7 +158,8 @@ def run_variants(nref):
         env = dict(os.environ, ALFI_TPU_PATCH_APPLY=app,
                    ALFI_TPU_STRUCT_PATCH=struct)
         r = subprocess.run(
-            [sys.executable, __file__, str(nref), "--one"],
+            [sys.executable, __file__, str(nref), "--one"]
+            + (["--dim3"] if dim == 3 else []),
             env=env, capture_output=True, text=True, timeout=3600)
         line = (r.stdout.strip().splitlines() or ["{}"])[-1]
         try:
@@ -158,7 +174,8 @@ def run_variants(nref):
 
 if __name__ == "__main__":
     nref = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    dim = 3 if "--dim3" in sys.argv else 2
     if "--one" in sys.argv:
-        main(nref)
+        main(nref, dim)
     else:
-        run_variants(nref)
+        run_variants(nref, dim)
