@@ -190,25 +190,37 @@ def mg_smooth_dtype():
     Arnoldi arithmetic per level run on the native-f32 VPU/MXU instead
     of 3-10x-cost emulated f64 (mg/velocity.py _smooth).
 
-    Default: the cycle dtype (f64) until the acceptance gate —
-    iteration-count parity vs the f64 control on the high-Re ldc2d
-    nref=2 sweep plus a 3D bench A/B at identical counts — is
-    measured; opt in with ALFI_TPU_MG_SMOOTH_DTYPE=f32."""
+    Default f32 on TPU — the round-5 acceptance gate:
+
+    * ldc2d nref=2 Re->10,000, all 102 continuation steps
+      iteration-IDENTICAL to the f64 control (incl. 19 == 19 at
+      Re=10,000; results/logs/iters_ldc2d_nref2_re10000_dc32.log vs
+      results/iters_ldc2d_nref2_re10000.log);
+    * bench.py 14.77 s -> 8.99 s (1.64x) at identical counts 22/7;
+    * bench3d 138.9 s -> 117.6 s (1.18x) with 16 -> 18 outer its —
+      the +2-iteration drift at smoothing=10/m~135 is the documented
+      price, absorbed by flexible GMRES (robustness/flatness is the
+      contract, results/logs/bench3d_dc32_ab.log).
+
+    CPU/other backends keep the cycle dtype (f64 native there).
+    Override with ALFI_TPU_MG_SMOOTH_DTYPE=f64 / f32."""
     global _mg_smooth
     if _mg_smooth is None:
         env = os.environ.get("ALFI_TPU_MG_SMOOTH_DTYPE")
         if env:
             _mg_smooth = {"f32": jnp.float32, "f64": jnp.float64}[env]
-            if (_mg_smooth == jnp.float32
-                    and jax.default_backend() not in ("cpu",)):
-                # the inner smoother runs f32 einsums on the MXU: pin
-                # full f32 matmul precision (default would use bf16
-                # inputs — measured 86 vs 31 its at Re=700, mg_dtype)
-                prec = os.environ.get("ALFI_TPU_MATMUL_PRECISION",
-                                      "highest")
-                jax.config.update("jax_default_matmul_precision", prec)
+        elif jax.default_backend() == "tpu":
+            _mg_smooth = jnp.float32
         else:
             _mg_smooth = mg_dtype()
+        if (_mg_smooth == jnp.float32
+                and jax.default_backend() not in ("cpu",)):
+            # the inner smoother runs f32 einsums on the MXU: pin
+            # full f32 matmul precision (default would use bf16
+            # inputs — measured 86 vs 31 its at Re=700, mg_dtype)
+            prec = os.environ.get("ALFI_TPU_MATMUL_PRECISION",
+                                  "highest")
+            jax.config.update("jax_default_matmul_precision", prec)
     return _mg_smooth
 
 

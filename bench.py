@@ -47,8 +47,9 @@ def vanka_dof_throughput(solver):
                          p_fine=p_fine)["patch_lufacs"][L - 1]
 
     lufac = factor(solver.z[0], solver.z[1], params)
-    # production cycle dtype (config.mg_dtype): f32 on TPU
-    cdt = getattr(vmg, "cdt", solver.z[0].dtype)
+    # production smoother dtype (config.mg_smooth_dtype): the patch
+    # factors are stored and applied in mdt (f32 on TPU)
+    cdt = getattr(vmg, "mdt", getattr(vmg, "cdt", solver.z[0].dtype))
     lufac = jax.tree.map(
         lambda a: (a.astype(cdt)
                    if jnp.issubdtype(a.dtype, jnp.floating) else a),
