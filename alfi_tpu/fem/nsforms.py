@@ -216,15 +216,41 @@ class NSForm:
         nl, d = tv.nloc, self.dim
         wdet = tv.w[None, :] * detj[:, None]
         g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)  # phys grads
-        # viscous: 2 (sym grad u, sym grad v); K[(l,i),(m,j)] =
-        #   delta_ij int g_l . g_m  +  int g_m[i] g_l[j]
-        gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
-        K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
-             + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
-             ).reshape(-1, nl * d, nl * d)
+        K = self._flat_viscous_K(wdet, g)
         Bt = self.graddiv_factors()
         G = jnp.einsum("cip,cjp->cij", Bt, Bt)
         return K, G
+
+    def _flat_dof_maps(self):
+        """(l_of, c_of) for flat velocity dofs a = l*d + component."""
+        a_idx = jnp.arange(self.tab_v.nloc * self.dim)
+        return a_idx // self.dim, a_idx % self.dim
+
+    def _flat_viscous_K(self, wdet, g):
+        """Viscous element tensor 2 (sym grad u, sym grad v) built
+        DIRECTLY in the flat (c, nl*d, nl*d) form:
+        K[(l,i),(m,j)] = delta_ij int g_l . g_m + int g_m[i] g_l[j].
+
+        The naive "...->climj" einsums materialise 6-D (c,nl,d,nl,d)
+        temps whose two minor dims (nl, d) tile-pad ~10x on TPU — the
+        measured 13.5 GB OOM that blocked ldc3d nref=2 on-chip
+        (round 5, results/logs/ldc3d_p2fb_nref2_re5000_tpu.log).
+        Instead: one batched GEMM over quadrature with FLAT basis
+        indices, then a static index-gather for the component
+        permutation — bit-identical output (gate:
+        tests/test_assembly.py)."""
+        nl, d = self.tab_v.nloc, self.dim
+        gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
+        l_of, c_of = self._flat_dof_maps()
+        K1 = (gg[:, l_of[:, None], l_of[None, :]]
+              * (c_of[:, None] == c_of[None, :]))
+        gf = g.reshape(g.shape[0], g.shape[1], nl * d)  # (c, q, (l,j))
+        # T2'[c,(l,j),(m,i)] = sum_q wdet g[c,q,l,j] g[c,q,m,i]
+        T2p = jnp.einsum("cq,cqa,cqb->cab", wdet, gf, gf)
+        # K2[(l,i),(m,j)] = int g_m[i] g_l[j] = T2'[(l,j),(m,i)]
+        IA = l_of[:, None] * d + c_of[None, :]
+        IB = l_of[None, :] * d + c_of[:, None]
+        return K1 + T2p[:, IA, IB]
 
     def velocity_element_tensors(self, params, wind):
         """(nc, nloc_v*d, nloc_v*d) Newton Jacobian of the velocity block
@@ -248,13 +274,9 @@ class NSForm:
         each device passes its own cells' wind / geometry / grad-div
         factors, no global arrays)."""
         tv = self.tab_v
-        nl, d = tv.nloc, self.dim
         wdet = tv.w[None, :] * detj[:, None]
         g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
-        gg = jnp.einsum("cq,cqla,cqma->clm", wdet, g, g)
-        K = (jnp.einsum("clm,ij->climj", gg, jnp.eye(d))
-             + jnp.einsum("cq,cqmi,cqlj->climj", wdet, g, g)
-             ).reshape(-1, nl * d, nl * d)
+        K = self._flat_viscous_K(wdet, g)
         G = jnp.einsum("cip,cjp->cij", Bt, Bt)
         return self._tensors_from_parts(params, K, G, w_loc, jinv, detj)
 
@@ -269,10 +291,19 @@ class NSForm:
         w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
         gw = jnp.einsum("cqlj,cli->cqij", g, w_loc)  # grad w at q
         adv1 = jnp.einsum("cq,ql,cqmd,cqd->clm", wdet, tv.phi, g, w_q)
-        N = jnp.einsum("clm,ij->climj", adv1, jnp.eye(d))
-        N = N + jnp.einsum("cq,ql,qm,cqij->climj", wdet, tv.phi, tv.phi,
-                           gw)
-        return N.reshape(-1, nl * d, nl * d)
+        # flat-form build (see _flat_viscous_K for why the 6-D
+        # "...->climj" route is forbidden on TPU): delta_ij kron via
+        # gather, the gw part as a sum of per-quadrature Kronecker
+        # products mass_q (x) gw_q — phi couples only (l, m) and gw
+        # only (i, j), so each q term is two (c, nl*d, nl*d) gathers
+        l_of, c_of = self._flat_dof_maps()
+        N = (adv1[:, l_of[:, None], l_of[None, :]]
+             * (c_of[:, None] == c_of[None, :]))
+        PHI2 = tv.phi[:, l_of[:, None]] * tv.phi[:, l_of[None, :]]
+        for q in range(tv.w.shape[0]):
+            Gq = gw[:, q, c_of[:, None], c_of[None, :]]
+            N = N + (wdet[:, q, None, None] * PHI2[q][None]) * Gq
+        return N
 
     def advection_element_tensors(self, wind):
         """N(wind) alone — the only wind-dependent Jacobian part (used by

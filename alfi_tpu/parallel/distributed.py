@@ -950,6 +950,15 @@ class DistributedSolver:
             coarse_state = woodbury_dense_closure(M0, B, gamma)
         else:
             coarse_state = self.fs_dense.factor(dense0(tensors[0]))
+        mdt = getattr(self.vmg, "mdt", None)
+        if mdt is not None and mdt != real_dtype:
+            # defect-correction smoother (config.mg_smooth_dtype): the
+            # patch factors live only inside the inner mdt Krylov loop
+            # — store them in mdt, as the single-chip setup does
+            # (mg/velocity.py)
+            from ..utils.tree import cast_floating
+
+            patch_facs = cast_floating(patch_facs, mdt)
         return dict(tensors=tensors, patch_facs=patch_facs,
                     coarse_fac=coarse_state, fJo=fJo)
 
@@ -992,6 +1001,16 @@ class DistributedSolver:
             return self._level_matvec(lv, T, v, fctx=fctx)
 
         m = self.solver.smoothing
+        mdt = getattr(self.vmg, "mdt", b.dtype)
+        if mdt != b.dtype:
+            # defect-correction mixed precision, mirroring the
+            # single-chip _smooth (mg/velocity.py): f64 defect, f32
+            # inner Krylov (owner-weighted dots psum in f32)
+            r0 = b if x0 is None else b - A(x0)
+            e, _ = fgmres(A, r0.astype(mdt), pc=pc, x0=None, rtol=0.0,
+                          atol=-1.0, maxit=m, restart=m, ctx=ctx)
+            e = e.astype(b.dtype)
+            return e if x0 is None else x0 + e
         x, _ = fgmres(A, b, pc=pc, x0=x0, rtol=0.0, atol=-1.0, maxit=m,
                       restart=m, ctx=ctx)
         return x
@@ -1022,8 +1041,7 @@ class DistributedSolver:
         r = b - self._level_matvec(loc["lev"][l], state["tensors"][l],
                                    x, fctx=self._fctx(loc, state, l))
         rc = self._restrict_mg(loc, tstate, l - 1, r)
-        xc = self._vcycle(loc, state, tstate, l - 1, rc,
-                          jnp.zeros_like(rc))
+        xc = self._vcycle(loc, state, tstate, l - 1, rc, None)
         x = x + self._prolong_mg(loc, tstate, l - 1, xc)
         return self._smooth(loc, state, l, b, x)
 

@@ -155,25 +155,33 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
     def opA(v):
         return project(A(v))
 
+    # scalar results from the dot context are pinned to vdt: a context
+    # that accumulates in f64 (ShardDotContext's owner-weighted psums)
+    # must not upcast an f32 (MG-smoother) Krylov loop through its
+    # norms/dots — the carries and the V-basis scaling would silently
+    # promote to f64
+    def _norm(v):
+        return ctx.norm(v).astype(vdt)
+
     # zero initial guess: the residual IS b — no operator application
     # spent before the Krylov loop (the fixed-iteration MG smoother
     # calls this once per level per cycle, so the saving is real)
     r0 = b if zero_guess else tsub(b, opA(x0))
-    rnorm0 = ctx.norm(r0)
+    rnorm0 = _norm(r0)
     target = jnp.maximum(rtol * rnorm0, atol)
 
     def cgs2(V, w, j):
         """Classical Gram-Schmidt with one re-orthogonalisation pass."""
-        h1 = ctx.buf_dots(V, w, j, m + 1)
+        h1 = ctx.buf_dots(V, w, j, m + 1).astype(vdt)
         w = _buf_axpy(V, h1, w)
-        h2 = ctx.buf_dots(V, w, j, m + 1)
+        h2 = ctx.buf_dots(V, w, j, m + 1).astype(vdt)
         w = _buf_axpy(V, h2, w)
         return w, h1 + h2
 
     def cycle(x, total_it, r=None):
         if r is None:
             r = tsub(b, opA(x))
-        beta = ctx.norm(r)
+        beta = _norm(r)
         V = tstack_zeros(b, m + 1)
         V = tset(V, 0, tscale(1.0 / (beta + _EPS), r))
         Z = tstack_zeros(b, m)
@@ -192,7 +200,7 @@ def fgmres(A, b, pc=None, x0=None, rtol=1e-9, atol=1e-10, maxit=500,
             Z = tset(Z, j, z)
             w = opA(z)
             w, h = cgs2(V, w, j + 1)  # orthogonalise against V[0..j]
-            hj1 = ctx.norm(w)
+            hj1 = _norm(w)
             V = tset(V, j + 1, tscale(1.0 / (hj1 + _EPS), w))
             # apply stored Givens rotations to the new column h[0..j]
             def rot(i, hcol):

@@ -180,6 +180,34 @@ def test_distributed_supg_continuation_solve():
     assert rel(solver.z[1], ref.z[1]) < 1e-8
 
 
+def test_distributed_dc32_smoother_matches_global():
+    """Defect-correction f32 smoother (config.mg_smooth_dtype, the TPU
+    default) in the shard_map path: distributed and global solvers
+    under the same mdt must agree in iteration counts and state."""
+    import jax.numpy as jnp
+
+    from alfi_tpu.config import real_dtype, set_mg_smooth_dtype
+
+    set_mg_smooth_dtype(jnp.float32)
+    try:
+        solver = _make(ConstantPressureSolver, hierarchy="uniform",
+                       patch="star", stabilisation_type="supg")
+        mesh = make_device_mesh(8)
+        dist = DistributedSolver(solver, mesh)
+        _, info = dist.solve(100)
+        assert info["converged"]
+
+        ref = _make(ConstantPressureSolver, hierarchy="uniform",
+                    patch="star", stabilisation_type="supg")
+        _, info_g = ref.solve(100)
+    finally:
+        set_mg_smooth_dtype(real_dtype)
+    assert info["linear_iter"] == info_g["linear_iter"]
+    assert info["nonlinear_iter"] == info_g["nonlinear_iter"]
+    assert rel(solver.z[0], ref.z[0]) < 1e-10
+    assert rel(solver.z[1], ref.z[1]) < 1e-8
+
+
 def test_distributed_continuation_solve():
     solver = _make(ConstantPressureSolver, hierarchy="uniform",
                    patch="star")
