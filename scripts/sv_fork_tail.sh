@@ -1,17 +1,18 @@
 #!/bin/bash
-# SV top-of-sweep A/B via tail forking (VERDICT r3 #7): wait for the
-# svbase1 reference-pins sweep (smoothing 6, Burman 5e-3) to finish,
-# then re-solve ONLY the tail (Re > 8900, 11 steps) under one changed
-# knob per variant, warm-started from the base checkpoints.  Iteration
-# counts are platform-independent; runs niced on the host CPU.
+# SV top-of-sweep A/B via tail forking (VERDICT r3 #7 / r4 #5): wait
+# for the round-5 svb5 reference-pins sweep (smoothing 6, Burman 5e-3,
+# 172,546 dofs) to finish, then re-solve ONLY the tail (Re > 8900, 11
+# steps) under one changed knob per variant, warm-started from the
+# base checkpoints.  Iteration counts are platform-independent; runs
+# niced on the host CPU.
 set -u
-BASE=/root/repo/results/checkpoint_svbase1/43266
+BASE=/root/repo/results/checkpoint_svb5/172546
 LOGS=/root/repo/results/logs
 while [ ! -f "$BASE/nssolution-Re-10000.npz" ]; do sleep 120; done
 
 run_variant() {
   NAME="$1"; shift
-  CKPT=/root/repo/results/checkpoint_$NAME/43266
+  CKPT=/root/repo/results/checkpoint_$NAME/172546
   mkdir -p "$CKPT"
   cp -n "$BASE"/*.npz "$CKPT"/ 2>/dev/null
   # drop the tail so the variant re-solves it with its own knob
@@ -28,6 +29,5 @@ run_variant() {
     >> "$LOGS/sv_ab_$NAME.log" 2>&1
 }
 
-run_variant svs10A --smoothing 10 --stabilisation-weight 5e-3
-run_variant svw12A --stabilisation-weight 1e-2
-run_variant svs10w12A --smoothing 10 --stabilisation-weight 1e-2
+run_variant svs10B --smoothing 10 --stabilisation-weight 5e-3
+run_variant svw12B --stabilisation-weight 1e-2
