@@ -570,13 +570,47 @@ def run_stage(s):
         # TPU backend, and setdefault silently left CPU stages on TPU
         env["JAX_PLATFORMS"] = "cpu"
         cmd = ["nice", "-n", "19"] + cmd
+    stall = int(os.environ.get("ALFI_QUEUE_STALL_S", "900"))
     with open(log, "a") as f:
-        try:
-            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                                timeout=s["timeout"], env=env,
-                                cwd=REPO).returncode
-        except subprocess.TimeoutExpired:
-            rc = -1
+        # watchdog Popen loop instead of subprocess.run: a tunnel
+        # dispatch can die SILENTLY (round 5: a step hung >13 min with
+        # zero log output while the chip idled) — burning the whole
+        # attempt timeout on a corpse.  If the stage log goes stale for
+        # ``stall`` seconds after first output, kill and retry; the
+        # per-Re checkpoints make retries cheap.  First-compile phases
+        # legitimately print nothing for a long time, so staleness
+        # counts from the LATER of process start and last log growth,
+        # with a 3x allowance before any output has appeared.
+        proc = subprocess.Popen(cmd, stdout=f,
+                                stderr=subprocess.STDOUT, env=env,
+                                cwd=REPO)
+        t0 = time.time()
+        start_size = size0 = os.path.getsize(log)
+        last_growth = t0
+        rc = None
+        while True:
+            try:
+                rc = proc.wait(timeout=20)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            now = time.time()
+            if os.path.getsize(log) != size0:
+                size0 = os.path.getsize(log)
+                last_growth = now
+            grew = size0 > start_size
+            limit = stall if grew else 3 * stall
+            if now - t0 > s["timeout"] or now - last_growth > limit:
+                proc.kill()
+                try:
+                    proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    pass
+                f.write("\n[queue] attempt killed: %s\n" % (
+                    "timeout" if now - t0 > s["timeout"]
+                    else "stalled %ds without log output" % limit))
+                rc = -1
+                break
     _distill_checkpoints(name)
     if rc == 0:
         open(done, "w").write("exit 0\n")
