@@ -29,6 +29,38 @@ from .geometry import CellGeometry
 from .quadrature import simplex_quadrature
 
 
+def _map_cell_chunks(fn, *arrays, chunk):
+    """Apply a per-cell-batch tensor builder sequentially over cell
+    chunks (lax.map) and concatenate.
+
+    The element-Jacobian builders materialise quadrature-sized temps
+    (physical gradients g: nc x nq x nld doubles, plus einsum
+    operand copies) — at 3D production sizes (nq = 125 for [P2+FB]^3,
+    nc = 24,576 at ldc3d nref=2) that is ~4 GB per temp and XLA's
+    remat copies OOM'd the 16 GB chip (round 5,
+    results/logs/ldc3d_p2fb_nref2_re5000_tpu.log attempt 2).  lax.map
+    guarantees the chunks run SEQUENTIALLY, so peak temp memory is one
+    chunk's worth; splitting a cell-local contraction by cells is
+    bit-exact."""
+    from jax import lax
+
+    nc = arrays[0].shape[0]
+    if nc <= chunk:
+        return fn(*arrays)
+    npad = (-nc) % chunk
+    if npad:
+        arrays = tuple(
+            jnp.concatenate(
+                [a, jnp.zeros((npad,) + a.shape[1:], a.dtype)])
+            for a in arrays)
+    stacked = tuple(
+        a.reshape((nc + npad) // chunk, chunk, *a.shape[1:])
+        for a in arrays)
+    out = lax.map(lambda args: fn(*args), stacked)
+    out = out.reshape(-1, *out.shape[2:])
+    return out[:nc] if npad else out
+
+
 class Tabulation:
     """Reference-element tabulation at a quadrature rule (constants)."""
 
@@ -214,12 +246,30 @@ class NSForm:
         jinv, detj, vol = self._geom_args()
         tv = self.tab_v
         nl, d = tv.nloc, self.dim
-        wdet = tv.w[None, :] * detj[:, None]
-        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)  # phys grads
-        K = self._flat_viscous_K(wdet, g)
+        def one(ji, dj):
+            wdet = tv.w[None, :] * dj[:, None]
+            g = jnp.einsum("qle,cej->cqlj", tv.gphi, ji)  # phys grads
+            return self._flat_viscous_K(wdet, g)
+
+        K = _map_cell_chunks(one, jinv, detj, chunk=self._cell_chunk())
         Bt = self.graddiv_factors()
         G = jnp.einsum("cip,cjp->cij", Bt, Bt)
         return K, G
+
+    def _cell_chunk(self):
+        """Chunk size for _map_cell_chunks: ~256 MB of quadrature-
+        materialised per-cell temps (g is nq x nld x dim doubles per
+        cell).  2D rules are small so ordinary meshes stay unchunked;
+        3D [P2+FB]^3 (nq = 125) chunks at ~6k cells.  Override with
+        ALFI_TPU_ETENSOR_CHUNK."""
+        import os
+
+        env = os.environ.get("ALFI_TPU_ETENSOR_CHUNK")
+        if env:
+            return int(env)
+        tv = self.tab_v
+        per_cell = tv.w.shape[0] * tv.nloc * self.dim * 8
+        return max(2048, (256 << 20) // per_cell)
 
     def _flat_dof_maps(self):
         """(l_of, c_of) for flat velocity dofs a = l*d + component."""
@@ -274,9 +324,13 @@ class NSForm:
         each device passes its own cells' wind / geometry / grad-div
         factors, no global arrays)."""
         tv = self.tab_v
-        wdet = tv.w[None, :] * detj[:, None]
-        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
-        K = self._flat_viscous_K(wdet, g)
+
+        def one(ji, dj):
+            wdet = tv.w[None, :] * dj[:, None]
+            g = jnp.einsum("qle,cej->cqlj", tv.gphi, ji)
+            return self._flat_viscous_K(wdet, g)
+
+        K = _map_cell_chunks(one, jinv, detj, chunk=self._cell_chunk())
         G = jnp.einsum("cip,cjp->cij", Bt, Bt)
         return self._tensors_from_parts(params, K, G, w_loc, jinv, detj)
 
@@ -285,25 +339,31 @@ class NSForm:
         N[(l,i),(m,j)] = delta_ij (phi_l, grad phi_m . w)
                        + (phi_l, d_j w_i phi_m)."""
         tv = self.tab_v
-        nl, d = tv.nloc, self.dim
-        wdet = tv.w[None, :] * detj[:, None]
-        g = jnp.einsum("qle,cej->cqlj", tv.gphi, jinv)
-        w_q = jnp.einsum("ql,cld->cqd", tv.phi, w_loc)
-        gw = jnp.einsum("cqlj,cli->cqij", g, w_loc)  # grad w at q
-        adv1 = jnp.einsum("cq,ql,cqmd,cqd->clm", wdet, tv.phi, g, w_q)
-        # flat-form build (see _flat_viscous_K for why the 6-D
-        # "...->climj" route is forbidden on TPU): delta_ij kron via
-        # gather, the gw part as a sum of per-quadrature Kronecker
-        # products mass_q (x) gw_q — phi couples only (l, m) and gw
-        # only (i, j), so each q term is two (c, nl*d, nl*d) gathers
-        l_of, c_of = self._flat_dof_maps()
-        N = (adv1[:, l_of[:, None], l_of[None, :]]
-             * (c_of[:, None] == c_of[None, :]))
-        PHI2 = tv.phi[:, l_of[:, None]] * tv.phi[:, l_of[None, :]]
-        for q in range(tv.w.shape[0]):
-            Gq = gw[:, q, c_of[:, None], c_of[None, :]]
-            N = N + (wdet[:, q, None, None] * PHI2[q][None]) * Gq
-        return N
+
+        def one(wl, ji, dj):
+            wdet = tv.w[None, :] * dj[:, None]
+            g = jnp.einsum("qle,cej->cqlj", tv.gphi, ji)
+            w_q = jnp.einsum("ql,cld->cqd", tv.phi, wl)
+            gw = jnp.einsum("cqlj,cli->cqij", g, wl)  # grad w at q
+            adv1 = jnp.einsum("cq,ql,cqmd,cqd->clm", wdet, tv.phi, g,
+                              w_q)
+            # flat-form build (see _flat_viscous_K for why the 6-D
+            # "...->climj" route is forbidden on TPU): delta_ij kron
+            # via gather, the gw part as a sum of per-quadrature
+            # Kronecker terms mass_q (x) gw_q — phi couples only
+            # (l, m) and gw only (i, j), so each q term is two
+            # (c, nl*d, nl*d) gathers
+            l_of, c_of = self._flat_dof_maps()
+            N = (adv1[:, l_of[:, None], l_of[None, :]]
+                 * (c_of[:, None] == c_of[None, :]))
+            PHI2 = tv.phi[:, l_of[:, None]] * tv.phi[:, l_of[None, :]]
+            for q in range(tv.w.shape[0]):
+                Gq = gw[:, q, c_of[:, None], c_of[None, :]]
+                N = N + (wdet[:, q, None, None] * PHI2[q][None]) * Gq
+            return N
+
+        return _map_cell_chunks(one, w_loc, jinv, detj,
+                                chunk=self._cell_chunk())
 
     def advection_element_tensors(self, wind):
         """N(wind) alone — the only wind-dependent Jacobian part (used by
