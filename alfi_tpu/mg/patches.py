@@ -374,13 +374,23 @@ def contract_patch_tensors(patchset, tensors):
     # ~8 ms is immaterial; only the CYCLE must stay scatter-free)
     onehot_bytes = npat * mc * nld * (m + 1) * tensors.dtype.itemsize
     if jax.default_backend() == "cpu" or onehot_bytes > 2 ** 27:
-        def one(cells_p, l2p_p):
-            T = Tpad[cells_p]  # (mc, nld, nld)
-            A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
-            A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
-            return A[:m, :m]
+        from ..fem.nsforms import _map_cell_chunks
 
-        return jax.vmap(one)(cells, l2p)
+        def contract(cells_c, l2p_c):
+            def one(cells_p, l2p_p):
+                T = Tpad[cells_p]  # (mc, nld, nld)
+                A = jnp.zeros((m + 1, m + 1), dtype=tensors.dtype)
+                A = A.at[l2p_p[:, :, None], l2p_p[:, None, :]].add(T)
+                return A[:m, :m]
+
+            return jax.vmap(one)(cells_c, l2p_c)
+
+        # chunk over patches: the vmapped member-cell gather
+        # materialises (np, mc, nld, nld) — 8.3 GB padded at ldc3d
+        # nref=2 (round-5 OOM log); ~256 MB per sequential chunk
+        per_patch = mc * nld * nld * tensors.dtype.itemsize
+        chunk = max(256, (256 << 20) // per_patch)
+        return _map_cell_chunks(contract, cells, l2p, chunk=chunk)
 
     P = (l2p[..., None] == jnp.arange(m + 1, dtype=l2p.dtype)).astype(
         tensors.dtype)
