@@ -486,6 +486,16 @@ def patch_padding_identity(patchset, dtype):
     return jnp.where(active, 0.0, 1.0).astype(dtype)[:, :, None] * eye
 
 
+def patch_padding_diag(patchset, dtype):
+    """(np, m) diagonal of the padding identity — 1.0 on padding
+    slots, 0.0 on active ones (the memory-lean form; embed with
+    ``A.at[:, ar, ar].add(diag)``)."""
+    import jax.numpy as jnp
+
+    active = jnp.asarray(patchset.active)
+    return jnp.where(active, 0.0, 1.0).astype(dtype)
+
+
 def assemble_patch_matrices(patchset, tensors):
     """(np, m, m) patch operators summed from per-cell element tensors
     (unit diagonal on padding slots)."""
@@ -506,11 +516,20 @@ def patch_static_operators(patchset, form):
     concrete arrays would be embedded as jit constants."""
     from ..config import real_dtype
 
+    from ..config import mg_store
+
     K_el, G_el = form._static_velocity_tensors()
+    # STORAGE dtype mg_store (f32 on TPU): at ldc3d nref=2 the fine
+    # level's K+G are (4913, 189, 189) — 5.8 GB resident in f64 — and
+    # the factorisation PROMOTES back to f64 (config.mg_store: a
+    # consistent relative-eps32 perturbation of the operator, the
+    # proven pattern).  The padding identity is stored as its DIAGONAL
+    # (np, m) and embedded at factor time, not as a third dense array.
+    sdt = mg_store()
     return {
-        "K": contract_patch_tensors(patchset, K_el),
-        "G": contract_patch_tensors(patchset, G_el),
-        "pad": patch_padding_identity(patchset, real_dtype),
+        "K": contract_patch_tensors(patchset, K_el).astype(sdt),
+        "G": contract_patch_tensors(patchset, G_el).astype(sdt),
+        "pad_diag": patch_padding_diag(patchset, real_dtype),
     }
 
 
@@ -532,8 +551,13 @@ def make_patch_factor_parts(patchset):
     fs = getattr(patchset, "_fs", None) or get_factorization("patch")
 
     def factor_parts(static, N_el, params):
-        A = (params["nu"] * static["K"] + params["gamma"] * static["G"]
-             + static["pad"])
+        # f32-STORED static parts promote back through the f64 scalar
+        # multiply (config.mg_store pattern); the padding identity is
+        # embedded from its diagonal
+        A = (params["nu"] * static["K"]
+             + params["gamma"] * static["G"])
+        ar = jnp.arange(A.shape[-1])
+        A = A.at[:, ar, ar].add(static["pad_diag"].astype(A.dtype))
         if N_el is not None:
             cdt = (A.dtype if jax.default_backend() == "cpu"
                    else jnp.float32)

@@ -111,7 +111,9 @@ class SchoeberlTransfer:
 
         if static is not None:
             A = (params["nu"] * static["K"]
-                 + params["gamma"] * static["G"] + static["pad"])
+                 + params["gamma"] * static["G"])
+            ar = jnp.arange(A.shape[-1])
+            A = A.at[:, ar, ar].add(static["pad_diag"].astype(A.dtype))
             lufac = get_factorization("patch").factor(A)
         else:
             form = self.fine_level.form
