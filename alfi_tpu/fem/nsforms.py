@@ -57,8 +57,12 @@ def _map_cell_chunks(fn, *arrays, chunk):
         a.reshape((nc + npad) // chunk, chunk, *a.shape[1:])
         for a in arrays)
     out = lax.map(lambda args: fn(*args), stacked)
-    out = out.reshape(-1, *out.shape[2:])
-    return out[:nc] if npad else out
+
+    def unchunk(o):
+        o = o.reshape(-1, *o.shape[2:])
+        return o[:nc] if npad else o
+
+    return jax.tree.map(unchunk, out)
 
 
 class Tabulation:
@@ -204,11 +208,14 @@ class NSForm:
             xq = jnp.broadcast_to(xq, (jinv.shape[0],) + xq.shape[1:])
         u_loc = u[self.cd_v]
         p_loc = p[self.cd_q]
-        rv, rq = jax.vmap(
-            lambda ul, pl, ji, dj, vo, x: self.cell_residual(
-                ul, pl, ji, dj, vo, x, params
-            )
-        )(u_loc, p_loc, jinv, detj, vol, xq)
+        rv, rq = _map_cell_chunks(
+            jax.vmap(
+                lambda ul, pl, ji, dj, vo, x: self.cell_residual(
+                    ul, pl, ji, dj, vo, x, params
+                )
+            ),
+            u_loc, p_loc, jinv, detj, vol, xq,
+            chunk=self._cell_chunk())
         if self._sum_v is not None:
             Rv = self._sum_v(rv)
             Rq = self._sum_q(rq)
@@ -226,11 +233,13 @@ class NSForm:
         jinv, detj, vol = self._geom_args()
         u_loc = u[self.cd_v]
         w_loc = u_loc if wind is None else wind[self.cd_v]
-        rv = jax.vmap(
-            lambda ul, wl, ji, dj, vo: self.cell_velocity_residual(
-                ul, wl, ji, dj, vo, params
-            )
-        )(u_loc, w_loc, jinv, detj, vol)
+        rv = _map_cell_chunks(
+            jax.vmap(
+                lambda ul, wl, ji, dj, vo: self.cell_velocity_residual(
+                    ul, wl, ji, dj, vo, params
+                )
+            ),
+            u_loc, w_loc, jinv, detj, vol, chunk=self._cell_chunk())
         if self._sum_v is not None:
             return self._sum_v(rv)
         return jnp.zeros_like(u).at[self.cd_v].add(rv)
