@@ -243,11 +243,26 @@ class _ExplicitInverseFactorization:
 
     def factor(self, A):
         m = A.shape[-1]
-        lu = lu_factor_batched(A)
-        inv = lu_solve_batched_multi(
-            lu, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), A.shape))
-        if self.apply_dtype is not None:
-            inv = inv.astype(self.apply_dtype)
+
+        def one(Ac):
+            lu = lu_factor_batched(Ac)
+            inv = lu_solve_batched_multi(
+                lu, jnp.broadcast_to(jnp.eye(m, dtype=Ac.dtype),
+                                     Ac.shape))
+            if self.apply_dtype is not None:
+                inv = inv.astype(self.apply_dtype)
+            return inv
+
+        # sequential patch chunks: the elementwise-LU while loop plus
+        # the m-RHS inverse solve hold several (np, m, m) buffers at
+        # once — a single 7.2 GB AllocateBuffer at ldc3d nref=2
+        # (np=4913, m=189; round-5 OOM log).  ~256 MB of working set
+        # per chunk, 2D patch batches (m ~ 14-62) stay unchunked.
+        from ..fem.nsforms import _map_cell_chunks
+
+        per = m * m * A.dtype.itemsize * 8
+        chunk = max(64, (256 << 20) // per)
+        inv = _map_cell_chunks(one, A, chunk=chunk)
         if self.transposed:
             inv = jnp.moveaxis(inv, 0, -1)  # (m, m, np)
         return inv
