@@ -278,7 +278,10 @@ class NSForm:
             return int(env)
         tv = self.tab_v
         per_cell = tv.w.shape[0] * tv.nloc * self.dim * 8
-        return max(2048, (256 << 20) // per_cell)
+        # 64 MB nominal: XLA's pipelining/remat of the map body holds
+        # several copies (an 8x buffer was measured at ldc3d nref=2),
+        # so the nominal budget must leave that headroom
+        return max(1024, (64 << 20) // per_cell)
 
     def _flat_dof_maps(self):
         """(l_of, c_of) for flat velocity dofs a = l*d + component."""
