@@ -58,9 +58,9 @@ def iters(problem, need, **kw):
 # ---------------------------------------------------------------------
 
 def _stage(name, log, cmd, need=0, timeout=14400, platform="tpu",
-           env=None):
+           env=None, stall=None):
     return dict(name=name, log=log, cmd=cmd, need=need, timeout=timeout,
-                platform=platform, env=env or {})
+                platform=platform, env=env or {}, stall=stall)
 
 
 def r3tpu():
@@ -288,7 +288,7 @@ def r5tpu():
         stabilisation_type="supg", patch="star", smoothing=10,
         restriction=True, re_max=5000)
     st.append(_stage("f3t", "ldc3d_p2fb_nref2_re5000_tpu.log", cmd,
-                     need=need, timeout=3600,
+                     need=need, timeout=5400, stall=2700,
                      env={"ALFI_TPU_GEOM_NUMBERING_3D": "1"}))
     # 2. finish the 2D nref=3 headline row (VERDICT item 7)
     cmd, need = iters(
@@ -570,7 +570,8 @@ def run_stage(s):
         # TPU backend, and setdefault silently left CPU stages on TPU
         env["JAX_PLATFORMS"] = "cpu"
         cmd = ["nice", "-n", "19"] + cmd
-    stall = int(os.environ.get("ALFI_QUEUE_STALL_S", "900"))
+    stall = (s.get("stall")
+             or int(os.environ.get("ALFI_QUEUE_STALL_S", "900")))
     with open(log, "a") as f:
         # watchdog Popen loop instead of subprocess.run: a tunnel
         # dispatch can die SILENTLY (round 5: a step hung >13 min with
