@@ -155,9 +155,23 @@ class ShakibSUPG:
             xq = jnp.zeros((u_loc.shape[0], tv.nq, form.dim),
                            dtype=u_loc.dtype)
         aux = self.aux_global(params)
-        rv_loc, rq_loc = self.residual_local(
-            u_loc, p_loc, w_loc, form.geom.jinv, form.geom.detj,
-            self.h, xq, params, aux)
+        # sequential cell chunks (fem/nsforms._map_cell_chunks): the
+        # quadrature-wide hessian batches here — and their jvp inside
+        # the outer Jacobian apply — were multi-GB temps at ldc3d
+        # nref=2 on-chip (round-5 OOM log)
+        from .fem.nsforms import _map_cell_chunks
+
+        gls = self.mode == "gls"
+
+        def one(ul, pl, wl, ji, dj, hh, x):
+            rv, rq = self.residual_local(ul, pl, wl, ji, dj, hh, x,
+                                         params, aux)
+            return (rv, rq) if gls else rv
+
+        out = _map_cell_chunks(
+            one, u_loc, p_loc, w_loc, form.geom.jinv, form.geom.detj,
+            self.h, xq, chunk=form._cell_chunk())
+        rv_loc, rq_loc = out if gls else (out, None)
         if form._sum_v is not None:
             Rv = form._sum_v(rv_loc)
             Rq = (form._sum_q(rq_loc) if rq_loc is not None
