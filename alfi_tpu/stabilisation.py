@@ -251,7 +251,7 @@ class ShakibSUPG:
                                 detj, h, xq, aux)
 
     def _vet_supg_analytic(self, params, u_loc, p_loc, jinv, detj, h,
-                           xq, aux, chunk=2048):
+                           xq, aux, chunk=None):
         """Analytic per-cell SUPG velocity-block Jacobian.
 
         rv[l,i] = sum_q coef(q) Lu[q,i] at[q,l] with
@@ -266,9 +266,24 @@ class ShakibSUPG:
         over (l,e)/(d,e)/(q,.), never broadcast against the cell batch.
         Cells are processed in static chunks to bound the peak
         (c, q, d, l)-sized intermediates."""
+        import os
+
         import jax
         from jax import lax
 
+        if chunk is None:
+            env = os.environ.get("ALFI_TPU_SUPG_CHUNK")
+            if env:
+                chunk = int(env)
+            else:
+                # ~24 MB of (chunk, nq, nl, d) working set per chunk:
+                # the fixed 2048 default crashed the TPU worker at
+                # ldc3d nref=2 shapes (nq = 125; isolated by
+                # scripts/probe_f3t2.py, chunk = 512 passes); 2D rules
+                # keep the old 2048
+                tvv = self.form.tab_v
+                per = tvv.w.shape[0] * tvv.nloc * self.form.dim * 8
+                chunk = min(2048, max(256, (24 << 20) // per))
         form = self.form
         tv = form.tab_v
         nu, advect = params["nu"], params["advect"]

@@ -47,9 +47,9 @@ def main():
     jax.block_until_ready(tstate)
     mark("setup jit")
     state = jax.jit(
-        lambda z, p: vmg.setup(z[0], p, schoeberl_state=tstate,
-                               static=static, p_fine=z[1])
-    )(solver.z, params)
+        lambda z, p, ts, st: vmg.setup(z[0], p, schoeberl_state=ts,
+                                       static=st, p_fine=z[1])
+    )(solver.z, params, tstate, static)
     jax.block_until_ready(state)
     mark("setup DONE")
     L = vmg.nlevels - 1
