@@ -280,16 +280,6 @@ def r5tpu():
     st.append(_stage("dcg", "iters_ldc2d_nref2_re10000_dc32.log", cmd,
                      need=need, timeout=3600,
                      env={"ALFI_TPU_MG_SMOOTH_DTYPE": "f32"}))
-    # 1. ldc3d [P2+FB]^3 nref=2 (284k dofs) Re->5000 ON THE TPU
-    # (VERDICT item 1a; reference generate_submission:12-23)
-    cmd, need = iters(
-        "ldc3d", 52, nref_start=2, nref_end=2, baseN=4, k=2,
-        solver_type="almg", discretisation="pkp0", mh="uniform",
-        stabilisation_type="supg", patch="star", smoothing=10,
-        restriction=True, re_max=5000)
-    st.append(_stage("f3t", "ldc3d_p2fb_nref2_re5000_tpu.log", cmd,
-                     need=need, timeout=5400, stall=2700,
-                     env={"ALFI_TPU_GEOM_NUMBERING_3D": "1"}))
     # 2. finish the 2D nref=3 headline row (VERDICT item 7)
     cmd, need = iters(
         "ldc2d", 102, nref_start=3, nref_end=3, baseN=16, k=2,
@@ -341,6 +331,19 @@ def r5tpu():
         patch="star", restriction=True, re_max=1000)
     st.append(_stage("b2r", "iters_bfs2d_coarse12_nref1_re1000.log",
                      cmd, need=need, timeout=3600))
+    # moved LAST: the composed 284k-dof program crashes the v5e
+    # worker at execution (every ingredient passes standalone —
+    # scripts/probe_f3t*.py); retries stay cheap via compile cache
+    # 1. ldc3d [P2+FB]^3 nref=2 (284k dofs) Re->5000 ON THE TPU
+    # (VERDICT item 1a; reference generate_submission:12-23)
+    cmd, need = iters(
+        "ldc3d", 52, nref_start=2, nref_end=2, baseN=4, k=2,
+        solver_type="almg", discretisation="pkp0", mh="uniform",
+        stabilisation_type="supg", patch="star", smoothing=10,
+        restriction=True, re_max=5000)
+    st.append(_stage("f3t", "ldc3d_p2fb_nref2_re5000_tpu.log", cmd,
+                     need=need, timeout=5400, stall=2700,
+                     env={"ALFI_TPU_GEOM_NUMBERING_3D": "1"}))
     return st
 
 
