@@ -260,8 +260,11 @@ class _ExplicitInverseFactorization:
         # per chunk, 2D patch batches (m ~ 14-62) stay unchunked.
         from ..fem.nsforms import _map_cell_chunks
 
+        # floor 1, not a fixed 64: SV 3D macrostar patches reach
+        # m ~ 1600 where even 64 patches of working set is ~10 GB
+        # (sv_ldc3d k=3 nref=1 OOM log, round 5)
         per = m * m * A.dtype.itemsize * 8
-        chunk = max(64, (256 << 20) // per)
+        chunk = max(1, (256 << 20) // per)
         inv = _map_cell_chunks(one, A, chunk=chunk)
         if self.transposed:
             inv = jnp.moveaxis(inv, 0, -1)  # (m, m, np)
