@@ -229,6 +229,21 @@ def set_mg_smooth_dtype(dtype):
     _mg_smooth = dtype
 
 
+def host_callbacks_ok():
+    """Whether the live backend can execute host send/recv callbacks
+    (jax pure_callback / io_callback).  The axon TPU tunnel's PJRT
+    shim rejects them at EXECUTION time (UNIMPLEMENTED), which would
+    kill any solve whose coarse grid rides the telescoped host sparse
+    LU — callers fall back to the on-device dense factorisation
+    instead (mg/velocity.py coarse-solve strategy)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "axon"
+    except Exception:
+        return True
+
+
 _use_woodbury = None
 
 

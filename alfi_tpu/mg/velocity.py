@@ -248,10 +248,32 @@ class VelocityMG:
         cap = int(os.environ.get("ALFI_TPU_DENSE_COARSE_MAX", "13000"))
         self._host_coarse = None
         if N0d > cap:
-            from ..solvers.host_coarse import HostSparseCoarse
+            from .. import config as _cfg
 
-            self._host_coarse = HostSparseCoarse(
-                np.asarray(lev0.rows), N0d, np.asarray(lev0.mask_flat))
+            if _cfg.host_callbacks_ok():
+                from ..solvers.host_coarse import HostSparseCoarse
+
+                self._host_coarse = HostSparseCoarse(
+                    np.asarray(lev0.rows), N0d,
+                    np.asarray(lev0.mask_flat))
+            else:
+                # axon tunnel: pure_callback dies at execution, so a
+                # coarse grid just past the cap (e.g. bfs2d coarse12's
+                # 13.2k P2 dofs vs the 13k default) must stay dense
+                # on-device; beyond ~32k flat dofs the f64 factor
+                # alone exceeds HBM — fail loudly up front instead of
+                # mid-continuation
+                if N0d > 32000:
+                    raise RuntimeError(
+                        "coarse grid (%d flat dofs) needs the host "
+                        "telescope, which this backend cannot execute "
+                        "(no host callbacks); re-run on a backend "
+                        "with callback support or with "
+                        "ALFI_TPU_FORCE_CPU=1" % N0d)
+                print("[almg] coarse %d dofs > dense cap %d but host "
+                      "callbacks unsupported on this backend -> "
+                      "on-device dense coarse factorisation"
+                      % (N0d, cap), flush=True)
 
         # ------------------------------------------------------------
         # stabilisation in the LEVEL OPERATORS: the reference assembles
