@@ -235,11 +235,17 @@ def host_callbacks_ok():
     shim rejects them at EXECUTION time (UNIMPLEMENTED), which would
     kill any solve whose coarse grid rides the telescoped host sparse
     LU — callers fall back to the on-device dense factorisation
-    instead (mg/velocity.py coarse-solve strategy)."""
-    import jax
+    instead (mg/velocity.py coarse-solve strategy).
+
+    Detection: the tunnel presents platform 'tpu' just like real
+    hardware; only the PJRT ``platform_version`` string names the
+    axon plugin (measured: a jitted pure_callback probe dies with
+    UNIMPLEMENTED exactly when 'axon' appears there)."""
+    from jax._src import xla_bridge
 
     try:
-        return jax.devices()[0].platform != "axon"
+        pv = getattr(xla_bridge.get_backend(), "platform_version", "")
+        return "axon" not in pv
     except Exception:
         return True
 
